@@ -1,0 +1,324 @@
+"""Diffusion Transformer (DiT) with adaLN-Zero conditioning, in flax.linen.
+
+Behavioral parity with reference models.py:21-343 (same math, same init scheme,
+same registry models.py:410-431), designed TPU-native:
+
+- Sequence layout is (N, T, C) — channels on the TPU lane axis. The reference's
+  (N, C, T) <-> (N, T, C) swapaxes pair (models.py:315-316,324-325) does not
+  exist here; callers work in (N, T, C) throughout.
+- Attention is a packed-QKV projection + fused banded Pallas flash-attention
+  kernel (ops/pallas_attention.py) or an XLA fallback, replacing
+  nn.MultiheadAttention + boolean mask (models.py:130-135).
+- The label-dropout RNG is an explicit 'label_dropout' flax RNG stream rather
+  than global torch RNG state (models.py:56-67).
+- `playfield_size` is a compile-time constant; the reference stores it as a
+  frozen nn.Parameter (models.py:222-225) which the checkpoint converter
+  validates and re-emits.
+
+Parameter init parity (reference models.py:275-304): xavier-uniform for all
+linears with zero bias; std-0.02 normals for the first-layer projection, the
+timestep-embedder MLP and the label table; ZERO init for every adaLN modulation
+and the final linear (adaLN-Zero identity start).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from osu_diffusion_tpu.ops.attention import multi_head_attention
+from osu_diffusion_tpu.ops.embeddings import (
+    offset_sequence_embedding,
+    position_sequence_embedding,
+    timestep_embedding,
+)
+
+PLAYFIELD = jnp.asarray((512.0, 384.0), dtype=jnp.float32)
+
+xavier = nn.initializers.xavier_uniform()
+normal02 = nn.initializers.normal(stddev=0.02)
+zeros = nn.initializers.zeros_init()
+
+
+def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """adaLN modulation. Parity: models.py:12-13 (shift/scale are (N, D))."""
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+class TimestepEmbedder(nn.Module):
+    """256-dim sinusoid -> MLP(SiLU) -> hidden. Parity: models.py:21-38."""
+
+    hidden_size: int
+    frequency_embedding_size: int = 256
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        t_freq = timestep_embedding(t, self.frequency_embedding_size)
+        x = nn.Dense(self.hidden_size, kernel_init=normal02, name="fc1")(t_freq)
+        x = nn.silu(x)
+        x = nn.Dense(self.hidden_size, kernel_init=normal02, name="fc2")(x)
+        return x
+
+
+class LabelEmbedder(nn.Module):
+    """Class-label embedding with CFG dropout to the null class.
+
+    Parity: models.py:41-74 — table has num_classes+1 rows when dropout_prob>0;
+    the null class index is num_classes.
+    """
+
+    num_classes: int
+    hidden_size: int
+    dropout_prob: float
+
+    @nn.compact
+    def __call__(
+        self,
+        labels: jnp.ndarray,
+        train: bool,
+        force_drop_ids: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        use_cfg_embedding = self.dropout_prob > 0
+        table = nn.Embed(
+            self.num_classes + int(use_cfg_embedding),
+            self.hidden_size,
+            embedding_init=normal02,
+            name="embedding_table",
+        )
+        if (train and use_cfg_embedding) or (force_drop_ids is not None):
+            if force_drop_ids is None:
+                rng = self.make_rng("label_dropout")
+                drop = jax.random.uniform(rng, labels.shape) < self.dropout_prob
+            else:
+                drop = force_drop_ids == 1
+            labels = jnp.where(drop, self.num_classes, labels)
+        return table(labels)
+
+
+class FirstLayer(nn.Module):
+    """Input fusion: per-coord 128-dim sincos of x*playfield (256) ⊕ 128-dim
+    sincos of o/10 ⊕ context (144) -> Linear to hidden. Parity: models.py:199-235."""
+
+    hidden_size: int
+    frequency_embedding_size: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, o: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        x_freq = position_sequence_embedding(
+            x * PLAYFIELD, self.frequency_embedding_size
+        )
+        o_freq = offset_sequence_embedding(o / 10.0, self.frequency_embedding_size)
+        xoc = jnp.concatenate([x_freq, o_freq, c], axis=-1)
+        return nn.Dense(self.hidden_size, kernel_init=normal02, name="proj")(xoc)
+
+
+class SelfAttention(nn.Module):
+    """Packed-QKV multi-head self-attention (torch MultiheadAttention layout:
+    packed [q|k|v] projection, models.py:130-135), core in ops.attention."""
+
+    hidden_size: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: jnp.ndarray | None,
+        band: int | None,
+        use_pallas: bool,
+    ) -> jnp.ndarray:
+        d = self.hidden_size
+        qkv_kernel = self.param("qkv_kernel", xavier, (d, 3 * d))
+        qkv_bias = self.param("qkv_bias", zeros, (3 * d,))
+        out_kernel = self.param("out_kernel", xavier, (d, d))
+        out_bias = self.param("out_bias", zeros, (d,))
+        return multi_head_attention(
+            x, qkv_kernel, qkv_bias, out_kernel, out_bias,
+            num_heads=self.num_heads, mask=mask, band=band, use_pallas=use_pallas,
+        )
+
+
+class DiTBlock(nn.Module):
+    """adaLN-Zero transformer block. Parity: models.py:122-175.
+
+    adaLN output order: (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp,
+    gate_mlp) — models.py:151-159.
+    """
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond: jnp.ndarray,
+        mask: jnp.ndarray | None = None,
+        band: int | None = None,
+        use_pallas: bool = False,
+    ) -> jnp.ndarray:
+        mod = nn.Dense(
+            6 * self.hidden_size, kernel_init=zeros, bias_init=zeros, name="adaLN"
+        )(nn.silu(cond))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+            mod, 6, axis=-1
+        )
+        ln = lambda name: nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, name=name
+        )
+        h = modulate(ln("norm1")(x), shift_msa, scale_msa)
+        attn = SelfAttention(self.hidden_size, self.num_heads, name="attn")(
+            h, mask, band, use_pallas
+        )
+        x = x + gate_msa[:, None, :] * attn
+        h = modulate(ln("norm2")(x), shift_mlp, scale_mlp)
+        mlp_hidden = int(self.hidden_size * self.mlp_ratio)
+        h = nn.Dense(mlp_hidden, kernel_init=xavier, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=True)  # GELU-tanh, parity models.py:138
+        h = nn.Dense(self.hidden_size, kernel_init=xavier, name="mlp_fc2")(h)
+        x = x + gate_mlp[:, None, :] * h
+        return x
+
+
+class FinalLayer(nn.Module):
+    """adaLN (shift/scale) + zero-init linear head. Parity: models.py:178-196."""
+
+    hidden_size: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        mod = nn.Dense(
+            2 * self.hidden_size, kernel_init=zeros, bias_init=zeros, name="adaLN"
+        )(nn.silu(cond))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = modulate(
+            nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False, name="norm_final")(x),
+            shift,
+            scale,
+        )
+        return nn.Dense(
+            self.out_channels, kernel_init=zeros, bias_init=zeros, name="linear"
+        )(x)
+
+
+@flax.struct.dataclass
+class DiTConfig:
+    in_channels: int = 2
+    context_size: int = 144
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    class_dropout_prob: float = 0.1
+    num_classes: int = 1000
+    learn_sigma: bool = True
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels * 2 if self.learn_sigma else self.in_channels
+
+
+class DiT(nn.Module):
+    """Diffusion Transformer. Parity: models.py:238-343.
+
+    Call convention (channels-last, all batch-leading):
+        x: (N, T, C)   noised coordinates
+        t: (N,)        diffusion timesteps (original-process indices)
+        o: (N, T)      time offsets, milliseconds
+        c: (N, T, E)   context (distance embedding ⊕ type one-hots)
+        y: (N,)        class labels
+    Returns (N, T, out_channels) — eps channels then variance channels.
+    """
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        o: jnp.ndarray,
+        c: jnp.ndarray,
+        y: jnp.ndarray,
+        train: bool = False,
+        attn_mask: jnp.ndarray | None = None,
+        band: int | None = None,
+        use_pallas: bool = False,
+        force_drop_ids: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        x = FirstLayer(cfg.hidden_size, name="xoc_embedder")(x, o, c)
+        t_emb = TimestepEmbedder(cfg.hidden_size, name="t_embedder")(t)
+        y_emb = LabelEmbedder(
+            cfg.num_classes, cfg.hidden_size, cfg.class_dropout_prob, name="y_embedder"
+        )(y, train, force_drop_ids)
+        cond = t_emb + y_emb  # parity: models.py:320
+        for i in range(cfg.depth):
+            x = DiTBlock(
+                cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, name=f"blocks_{i}"
+            )(x, cond, attn_mask, band, use_pallas)
+        return FinalLayer(cfg.hidden_size, cfg.out_channels, name="final_layer")(x, cond)
+
+    def forward_with_cfg(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        o: jnp.ndarray,
+        c: jnp.ndarray,
+        y: jnp.ndarray,
+        cfg_scale: float,
+        attn_mask: jnp.ndarray | None = None,
+        band: int | None = None,
+        use_pallas: bool = False,
+    ) -> jnp.ndarray:
+        """Classifier-free-guidance batched forward. Parity: models.py:327-343.
+
+        The batch is [cond | uncond] halves sharing the same first-half x;
+        guidance is applied to the eps channels ONLY (reference quirk,
+        models.py:338-342).
+        """
+        cfg = self.config
+        half = x[: x.shape[0] // 2]
+        combined = jnp.concatenate([half, half], axis=0)
+        model_out = self.__call__(
+            combined, t, o, c, y, train=False,
+            attn_mask=attn_mask, band=band, use_pallas=use_pallas,
+        )
+        eps, rest = (
+            model_out[..., : cfg.in_channels],
+            model_out[..., cfg.in_channels :],
+        )
+        cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+        half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+        eps = jnp.concatenate([half_eps, half_eps], axis=0)
+        return jnp.concatenate([eps, rest], axis=-1)
+
+
+def DiT_XL(**kwargs) -> DiT:
+    return DiT(DiTConfig(depth=28, hidden_size=1152, num_heads=16, **kwargs))
+
+
+def DiT_L(**kwargs) -> DiT:
+    return DiT(DiTConfig(depth=24, hidden_size=1024, num_heads=16, **kwargs))
+
+
+def DiT_B(**kwargs) -> DiT:
+    return DiT(DiTConfig(depth=12, hidden_size=768, num_heads=12, **kwargs))
+
+
+def DiT_S(**kwargs) -> DiT:
+    return DiT(DiTConfig(depth=12, hidden_size=384, num_heads=6, **kwargs))
+
+
+# Registry parity: models.py:426-431.
+DiT_models: dict[str, Callable[..., DiT]] = {
+    "DiT-XL": DiT_XL,
+    "DiT-L": DiT_L,
+    "DiT-B": DiT_B,
+    "DiT-S": DiT_S,
+}

@@ -1,0 +1,92 @@
+"""Multi-head attention with optional banded (local) masking.
+
+The reference uses torch.nn.MultiheadAttention with a boolean (T, T) mask where
+True = blocked (models.py:130-135,164-170); the mask is built at sample time
+(sample.py:82-84) so a model trained at T=128 can sample arbitrary lengths.
+
+TPU-native design: the band is *structure*, not data — a Pallas block-local
+flash-attention kernel (ops/pallas_attention.py) skips fully-masked key blocks
+entirely. This module holds the XLA reference path (used on CPU/tests and as a
+fallback) plus the mask construction, with the exact reference band semantics.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def banded_attention_mask(seq_len: int, half_width: int) -> jnp.ndarray:
+    """Boolean (T, T) mask, True = attention ALLOWED.
+
+    Exact parity with the reference loop (sample.py:82-84):
+        for i: attn_mask[max(0, i-L) : min(T, i+L), i] = False   # False = allowed
+    which allows query q to attend key k iff  q - L < k <= q + L.
+
+    Note the polarity is inverted relative to torch (we use True=allowed, the
+    jnp.where convention), and the band is deliberately asymmetric by one.
+    """
+    q = jnp.arange(seq_len)[:, None]
+    k = jnp.arange(seq_len)[None, :]
+    return (k > q - half_width) & (k <= q + half_width)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention. q,k,v: (N, H, T, Dh); mask (T, T) True=allowed."""
+    dh = q.shape[-1]
+    scores = jnp.einsum(
+        "nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    if mask is not None:
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, scores.dtype)
+        scores = jnp.where(mask, scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("nhqk,nhkd->nhqd", probs, v, preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def multi_head_attention(
+    x: jnp.ndarray,
+    qkv_kernel: jnp.ndarray,
+    qkv_bias: jnp.ndarray,
+    out_kernel: jnp.ndarray,
+    out_bias: jnp.ndarray,
+    num_heads: int,
+    mask: jnp.ndarray | None = None,
+    band: int | None = None,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Self-attention over x (N, T, D) with packed qkv projection.
+
+    qkv_kernel: (D, 3D) packed [q|k|v] along the output axis — same packing as
+    torch MultiheadAttention's in_proj (transposed), easing checkpoint conversion.
+
+    If `band` is given and `use_pallas`, dispatch to the fused block-local Pallas
+    kernel (TPU); otherwise apply the dense mask through XLA.
+    """
+    n, t, d = x.shape
+    dh = d // num_heads
+    qkv = jnp.einsum("ntd,de->nte", x, qkv_kernel, preferred_element_type=jnp.float32).astype(x.dtype) + qkv_bias
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(a):
+        return a.reshape(n, t, num_heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+
+    if use_pallas and band is not None:
+        from osu_diffusion_tpu.ops.pallas_attention import banded_flash_attention
+
+        o = banded_flash_attention(q, k, v, band)
+    else:
+        if mask is None and band is not None:
+            mask = banded_attention_mask(t, band)
+        o = dot_product_attention(q, k, v, mask)
+
+    o = o.transpose(0, 2, 1, 3).reshape(n, t, d)
+    return jnp.einsum("ntd,de->nte", o, out_kernel, preferred_element_type=jnp.float32).astype(x.dtype) + out_bias
