@@ -1,0 +1,158 @@
+"""Featurizer + pipeline tests (reference data_loading.py parity)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osu_diffusion_tpu.beatmap import Beatmap, Slider
+from osu_diffusion_tpu.data import (
+    BeatmapDatasetIterable,
+    BeatmapDatasetIterableFactory,
+    InterleavingBeatmapDatasetIterable,
+    beatmap_to_sequence,
+    calc_distances,
+    get_data,
+    process_batch,
+    repeat_type,
+    split_and_process_sequence_no_augment,
+    window_and_relative_time,
+)
+from osu_diffusion_tpu.data.featurize import create_datapoint
+from datetime import timedelta
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets", "toy_datasets")
+KIMI = os.path.join(ASSETS, "kimi_no_bouken.osu")
+
+
+def test_repeat_type():
+    # parity: data_loading.py:42-48
+    assert [repeat_type(r) for r in [1, 2, 3, 4, 5, 6, 7]] == [0, 1, 2, 3, 4, 3, 4]
+
+
+def test_create_datapoint_layout():
+    from osu_diffusion_tpu.beatmap.objects import Position
+
+    dp = create_datapoint(timedelta(milliseconds=1500), Position(100, 200), 5)
+    assert dp.shape == (19,)
+    assert dp[0] == 100 and dp[1] == 200 and dp[2] == 1500
+    assert dp[3 + 5] == 1 and dp.sum() == 100 + 200 + 1500 + 1
+
+
+def test_beatmap_to_sequence_kimi():
+    bm = Beatmap.from_path(KIMI)
+    seq = beatmap_to_sequence(bm)
+    assert seq.ndim == 2 and seq.shape[1] == 19
+    # more datapoints than hit objects (sliders expand)
+    assert seq.shape[0] > len(bm.hit_objects())
+    # time is nondecreasing
+    assert (np.diff(seq[:, 2]) >= -1e-6).all()
+    # each row has exactly one type flag
+    assert np.all(seq[:, 3:].sum(axis=1) == 1.0)
+
+
+def test_slider_expansion_types():
+    bm = Beatmap.from_path(KIMI)
+    sliders = [h for h in bm.hit_objects() if isinstance(h, Slider)]
+    rows = get_data(sliders[0])
+    types = np.argmax(rows[:, 3:], axis=1)
+    # head(4/5), ... anchors ..., last anchor(10), slider end (11+rt)
+    assert types[0] in (4, 5)
+    assert types[-2] == 10
+    assert 11 <= types[-1] <= 15
+
+
+def test_calc_distances_center_start():
+    seq = np.zeros((3, 19), dtype=np.float32)
+    seq[0, :2] = [256, 192]  # at center -> distance 0
+    seq[1, :2] = [256, 292]  # 100 from previous
+    seq[2, :2] = [356, 292]
+    d = np.asarray(calc_distances(jnp.asarray(seq)))
+    np.testing.assert_allclose(d, [0.0, 100.0, 100.0], atol=1e-5)
+
+
+def test_calc_distances_prev_xy():
+    seq = np.zeros((1, 19), dtype=np.float32)
+    seq[0, :2] = [10, 0]
+    d = np.asarray(calc_distances(jnp.asarray(seq), jnp.asarray([0.0, 0.0])))
+    np.testing.assert_allclose(d, [10.0], atol=1e-5)
+
+
+def test_split_no_augment_shapes_and_values():
+    bm = Beatmap.from_path(KIMI)
+    seq = beatmap_to_sequence(bm)[:32]
+    (x, o, c), t = split_and_process_sequence_no_augment(jnp.asarray(seq))
+    assert t == 32
+    assert x.shape == (32, 2) and o.shape == (32,) and c.shape == (32, 144)
+    np.testing.assert_allclose(
+        np.asarray(x), seq[:, :2] / np.array([512.0, 384.0]), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(o), seq[:, 2], atol=1e-5)
+    # last 16 context channels are the type one-hots
+    np.testing.assert_allclose(np.asarray(c[:, 128:]), seq[:, 3:], atol=1e-6)
+
+
+def test_window_and_relative_time():
+    seq = np.zeros((10, 19), dtype=np.float32)
+    seq[:, 2] = np.arange(10) * 100.0
+    (x, o, c), _ = split_and_process_sequence_no_augment(jnp.asarray(seq))
+    xw, ow, cw = window_and_relative_time((x, o, c), 2, 6, 0.5)
+    assert xw.shape == (4, 2) and ow.shape == (4,) and cw.shape == (4, 144)
+    np.testing.assert_allclose(
+        np.asarray(ow), np.arange(4) * 100.0 + 0.5 * 100000.0, atol=1e-2
+    )
+
+
+def test_process_batch_jit_and_augment_marginals():
+    raw = np.random.RandomState(0).rand(8, 16, 19).astype(np.float32)
+    raw[..., :2] *= [512, 384]
+    raw[..., 2] = np.cumsum(np.abs(raw[..., 2]), axis=1) * 100
+    prev = np.full((8, 2), [256.0, 192.0], dtype=np.float32)
+    fn = jax.jit(lambda r: process_batch(jnp.asarray(raw), jnp.asarray(prev), r))
+    x, o, c = fn(jax.random.PRNGKey(0))
+    assert x.shape == (8, 16, 2) and o.shape == (8, 16) and c.shape == (8, 16, 144)
+    # time re-zeroed to offset in [0, 100000)
+    o0 = np.asarray(o[:, 0])
+    assert (o0 >= 0).all() and (o0 < 100000).all()
+    # flips preserve normalized range
+    assert np.asarray(x).min() >= 0 - 1e-5 and np.asarray(x).max() <= 1 + 1e-5
+    # augmentation differs across seeds, deterministic per seed
+    x2, _, _ = fn(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+    x3, _, _ = fn(jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(x), np.asarray(x3))
+
+
+def test_dataset_iterable_windows():
+    import random
+
+    files = [KIMI]
+    it = BeatmapDatasetIterable(files, seq_len=64, stride=16, rng=random.Random(0))
+    items = list(it)
+    assert len(items) > 10
+    (win, prev), label = items[0]
+    assert win.shape == (64, 19) and prev.shape == (2,)
+    assert label == 0  # non-numeric fixture name falls back to 0
+
+
+def test_interleaving_mixes_and_fixes_skip_bug():
+    # two single-file shards: round robin alternates, exhaustion doesn't skip
+    import random
+
+    factory = BeatmapDatasetIterableFactory(64, 64, seed=0)
+    inter = InterleavingBeatmapDatasetIterable([KIMI, KIMI], factory, 2)
+    labels = [label for _, label in inter]
+    assert len(labels) > 4  # both shards fully drained
+
+
+def test_label_is_filename_prefix(tmp_path):
+    import shutil, random
+
+    # reference labels come from the first 6 chars of the file name
+    # (data_loading.py:255); create a properly named copy
+    target = tmp_path / "012345 something.osu"
+    shutil.copy(KIMI, target)
+    it = BeatmapDatasetIterable([str(target)], seq_len=64, stride=64, rng=random.Random(0))
+    (_, label) = next(it)
+    assert label == 12345
