@@ -12,3 +12,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # repo root importable regardless of pytest invocation directory
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# this environment's default matmul precision is bf16-like even on CPU; tests
+# compare against float64/torch references, so force full f32 matmuls
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
