@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: DiT-B denoise steps/sec on one chip.
+
+Matches the reference measurement harness (BASELINE.md: DiT-B = 2.09 denoise
+steps/sec through diffusion.p_sample_loop(model.forward_with_cfg, ...), batch 2
+with CFG doubling, T=128, no attention mask, random weights — throughput is
+weight-independent).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_STEPS_PER_SEC = 2.09  # reference torch CPU, BASELINE.md (measured)
+
+
+def main() -> None:
+    from osu_diffusion_tpu import CONTEXT_SIZE
+    from osu_diffusion_tpu.diffusion import create_diffusion
+    from osu_diffusion_tpu.models import DiT_models
+    from osu_diffusion_tpu.sampling import Sampler
+
+    model = DiT_models["DiT-B"](num_classes=52670, context_size=CONTEXT_SIZE)
+    steps = 100
+    diffusion = create_diffusion(str(steps), noise_schedule="squaredcos_cap_v2")
+
+    t_len = 128
+    n = 2  # CFG-doubled batch of 1, parity with the baseline harness
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng,
+        jnp.zeros((n, t_len, 2)),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n, t_len)),
+        jnp.zeros((n, t_len, CONTEXT_SIZE)),
+        jnp.zeros((n,), jnp.int32),
+    )["params"]
+
+    sampler = Sampler(model, diffusion, cfg_scale=1.0, band=None, bucket=t_len)
+    z = jax.random.normal(jax.random.PRNGKey(1), (n, t_len, 2))
+    o = jnp.cumsum(jnp.ones((n, t_len)) * 150, axis=1)
+    c = jax.random.normal(jax.random.PRNGKey(2), (n, t_len, CONTEXT_SIZE))
+    y = jnp.asarray([1, 52670], dtype=jnp.int32)
+
+    # compile + warmup
+    out = sampler(params, z, o, c, y, jax.random.PRNGKey(3))
+    jax.block_until_ready(out)
+
+    runs = 3
+    start = time.perf_counter()
+    for i in range(runs):
+        out = sampler(params, z, o, c, y, jax.random.PRNGKey(4 + i))
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    steps_per_sec = steps * runs / elapsed
+    print(json.dumps({
+        "metric": "denoise_steps_per_sec_DiT-B_T128_cfg",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,309 @@
+"""Command-line entry points with the reference's flag surfaces.
+
+`sample_main` mirrors reference sample.py:208-236 and `train_main` mirrors
+train.py:306-336 (boolean flags are real --flag/--no-flag pairs, fixing the
+reference's `type=bool` truthy-string trap, SURVEY.md §7 defects list).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import re
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from osu_diffusion_tpu import CONTEXT_SIZE
+from osu_diffusion_tpu.beatmap import Beatmap
+from osu_diffusion_tpu.data import beatmap_to_sequence, get_beatmap_idx
+from osu_diffusion_tpu.data.process import (
+    split_and_process_sequence,
+    split_and_process_sequence_no_augment,
+)
+from osu_diffusion_tpu.diffusion import create_diffusion
+from osu_diffusion_tpu.export import create_beatmap, plot_beatmap
+from osu_diffusion_tpu.models import DiT_models
+from osu_diffusion_tpu.sampling import Sampler, prepare_cfg_inputs
+from osu_diffusion_tpu.train.checkpoint import load_torch_checkpoint, restore_params_any
+
+CLEAN_FILENAME_RX = re.compile(r"[/\\?%*:|\"<>\x7F\x00-\x1F]")
+
+
+def _bool_flag(parser, name, default):
+    parser.add_argument(
+        f"--{name}", action=argparse.BooleanOptionalAction, default=default
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample
+# ---------------------------------------------------------------------------
+
+
+def build_sample_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--beatmap", type=str, required=True)
+    parser.add_argument("--ckpt", type=str, required=True)
+    parser.add_argument(
+        "--model", type=str, choices=list(DiT_models.keys()), default="DiT-B"
+    )
+    parser.add_argument("--num-classes", type=int, default=52670)
+    parser.add_argument("--beatmap-idx", type=str,
+                        default=os.path.join("assets", "beatmap_idx.pickle"))
+    parser.add_argument("--cfg-scale", type=float, default=1.0)
+    parser.add_argument("--num-sampling-steps", type=int, default=250)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--seq-len", type=int, default=128)
+    parser.add_argument("--style-id", type=int, default=None)
+    parser.add_argument("--plot-time", type=float, default=None)
+    parser.add_argument("--plot-width", type=float, default=2000)
+    parser.add_argument("--num-variants", type=int, default=1)
+    parser.add_argument("--refine-ckpt", type=str, default=None)
+    parser.add_argument("--refine-iters", type=int, default=10)
+    parser.add_argument("--results-dir", type=str, default="results")
+    _bool_flag(parser, "make-animation", False)
+    _bool_flag(parser, "use-pallas", True)
+    _bool_flag(parser, "augment-flip", False)
+    return parser
+
+
+def sample_main(args) -> list[str]:
+    """End-to-end beatmap generation. Parity with reference sample.py:39-205.
+
+    One deliberate fix: the reference applies the *augmenting* splitter at
+    sample time (sample.py:64 calls split_and_process_sequence, which random-
+    flips the map — SURVEY.md §7 defect list). Default here is no flip;
+    --augment-flip restores the reference behavior.
+    """
+    rng = jax.random.PRNGKey(args.seed)
+
+    beatmap = Beatmap.from_path(args.beatmap)
+    filename = f"{beatmap.beatmap_id} {beatmap.artist} - {beatmap.title}"
+    filename = CLEAN_FILENAME_RX.sub("-", filename)
+    result_dir = os.path.join(args.results_dir, filename)
+    os.makedirs(result_dir, exist_ok=True)
+
+    seq_no_embed = beatmap_to_sequence(beatmap)  # (T, 19)
+
+    if args.plot_time is not None:
+        start_index = int(np.nonzero(seq_no_embed[:, 2] >= args.plot_time)[0][0])
+        seq_no_embed = seq_no_embed[start_index : start_index + args.seq_len]
+        print(f"Sequence trimmed to length {seq_no_embed.shape[0]}")
+
+    if args.augment_flip:
+        rng, flip_rng = jax.random.split(rng)
+        (seq_x, seq_o, seq_c), seq_len = split_and_process_sequence(
+            jnp.asarray(seq_no_embed), flip_rng
+        )
+    else:
+        (seq_x, seq_o, seq_c), seq_len = split_and_process_sequence_no_augment(
+            jnp.asarray(seq_no_embed)
+        )
+    seq_o = seq_o - seq_o[0]
+    print(f"seq len {seq_len}")
+
+    model = DiT_models[args.model](
+        num_classes=args.num_classes, context_size=CONTEXT_SIZE
+    )
+    params = restore_params_any(args.ckpt, model)
+    diffusion = create_diffusion(
+        str(args.num_sampling_steps), noise_schedule="squaredcos_cap_v2"
+    )
+
+    if args.style_id is not None:
+        beatmap_idx = get_beatmap_idx(args.beatmap_idx)
+        idx = beatmap_idx[args.style_id]
+        class_labels = [idx + i for i in range(args.num_variants)]
+    else:
+        class_labels = [args.num_classes]
+
+    rng, noise_rng, sample_rng = jax.random.split(rng, 3)
+    z, o, c, y = prepare_cfg_inputs(
+        seq_x, np.asarray(seq_o), np.asarray(seq_c), class_labels,
+        args.num_classes, noise_rng,
+    )
+
+    sampler = Sampler(
+        model, diffusion, cfg_scale=args.cfg_scale, band=args.seq_len,
+        use_pallas=args.use_pallas,
+    )
+
+    n = len(class_labels)
+
+    def to_seq(samples):
+        coords = np.asarray(samples)[:n]  # drop the null-class half
+        rest = np.broadcast_to(seq_no_embed[None, :, 2:], (n, seq_len, 17))
+        return np.concatenate([coords, rest], axis=-1)
+
+    written: list[str] = []
+
+    def save_sequence(sampled_seq, iteration_number=None):
+        for idx, seq in enumerate(sampled_seq):
+            try:
+                suffix = "" if iteration_number is None else f" {iteration_number}"
+                new_beatmap = create_beatmap(
+                    seq, beatmap,
+                    f"Diffusion {args.style_id} {idx} {datetime.now()}{suffix}",
+                )
+                out_path = os.path.join(
+                    result_dir,
+                    f"{beatmap.beatmap_id} result {args.style_id} {idx}{suffix}.osu",
+                )
+                new_beatmap.write_path(out_path)
+                written.append(out_path)
+                if args.plot_time is not None:
+                    import matplotlib.pyplot as plt
+
+                    fig, ax = plt.subplots()
+                    plot_beatmap(ax, new_beatmap, args.plot_time, args.plot_width)
+                    ax.axis("equal")
+                    ax.set_xlim([0, 512])
+                    ax.set_ylim([384, 0])
+                    plt.show()
+            except Exception as e:
+                logging.error("Failed to create beatmap.", exc_info=e)
+
+    if args.plot_time is not None and args.make_animation:
+        import matplotlib.pyplot as plt
+        from matplotlib import animation
+
+        all_steps = _progressive_samples(sampler, params, z, o, c, y, sample_rng)
+        fig, ax = plt.subplots()
+        ax.axis("equal")
+        ax.set_xlim([0, 512])
+        ax.set_ylim([384, 0])
+        artists = []
+        sampled_seq = None
+        for s in np.asarray(all_steps):
+            sampled_seq = to_seq(s)
+            new_beatmap = create_beatmap(
+                sampled_seq[0], beatmap, f"Diffusion {args.style_id}"
+            )
+            artists.append(plot_beatmap(ax, new_beatmap, args.plot_time, args.plot_width))
+        ani = animation.ArtistAnimation(fig=fig, artists=artists, interval=1000 // 24)
+        ani.save(filename=os.path.join(result_dir, "animation.gif"), writer="pillow")
+        save_sequence(sampled_seq)
+    else:
+        samples = sampler(params, z, o, c, y, sample_rng)
+        save_sequence(to_seq(samples))
+
+        if args.refine_ckpt is not None:
+            # refine pass: repeated t=0 denoise with the refine model
+            # (parity sample.py:186-205; the refine model is trained by the
+            # t=0-only trainer, train_nodist.py:222)
+            params = restore_params_any(args.refine_ckpt, model)
+            img = samples
+            t0 = jnp.zeros((img.shape[0],), jnp.int32)
+            for i in range(args.refine_iters):
+                sample_rng, step_rng = jax.random.split(sample_rng)
+                def model_fn(x, t, **kw):
+                    return model.apply(
+                        {"params": params}, x, t, o, c, y,
+                        cfg_scale=args.cfg_scale,
+                        method=type(model).forward_with_cfg,
+                    )
+                out = diffusion.p_sample(
+                    model_fn, img, t0, step_rng, clip_denoised=True
+                )
+                img = out["sample"]
+            save_sequence(to_seq(img), args.refine_iters)
+
+    return written
+
+
+def _progressive_samples(sampler: Sampler, params, z, o, c, y, rng):
+    """All intermediate samples for the animation flow."""
+    diffusion = sampler.diffusion
+    model = sampler.model
+    t_real = z.shape[1]
+    mask = None
+    from osu_diffusion_tpu.ops.attention import banded_attention_mask
+
+    if sampler.band is not None:
+        mask = banded_attention_mask(t_real, sampler.band)
+
+    def model_fn(x, t, **kw):
+        return model.apply(
+            {"params": params}, x, t, o, c, y, cfg_scale=sampler.cfg_scale,
+            attn_mask=mask, method=type(model).forward_with_cfg,
+        )
+
+    return jax.jit(
+        lambda r: diffusion.p_sample_loop_progressive(
+            model_fn, z.shape, r, noise=z, clip_denoised=True
+        )
+    )(rng)
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+
+def build_train_parser() -> argparse.ArgumentParser:
+    from osu_diffusion_tpu.train.trainer import TrainConfig
+
+    d = TrainConfig(data_path="")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data-path", type=str, required=True)
+    parser.add_argument("--num-classes", type=int, default=d.num_classes)
+    parser.add_argument("--data-end", type=int, default=d.data_end)
+    parser.add_argument("--data-start", type=int, default=d.data_start)
+    parser.add_argument("--results-dir", type=str, default=d.results_dir)
+    parser.add_argument(
+        "--model", type=str, choices=list(DiT_models.keys()), default=d.model
+    )
+    parser.add_argument("--epochs", type=int, default=d.epochs)
+    parser.add_argument("--global-batch-size", type=int, default=d.global_batch_size)
+    parser.add_argument("--global-seed", type=int, default=d.global_seed)
+    parser.add_argument("--num-workers", type=int, default=d.num_workers)
+    parser.add_argument("--log-every", type=int, default=d.log_every)
+    parser.add_argument("--ckpt-every", type=int, default=d.ckpt_every)
+    parser.add_argument("--seq-len", type=int, default=d.seq_len)
+    parser.add_argument("--stride", type=int, default=d.stride)
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--noise-schedule", type=str, default=d.noise_schedule)
+    parser.add_argument("--lr", type=float, default=d.lr)
+    parser.add_argument("--embed-only-epochs", type=int, default=d.embed_only_epochs)
+    parser.add_argument("--num-model", type=int, default=d.num_model)
+    parser.add_argument("--max-steps", type=int, default=None)
+    _bool_flag(parser, "l1-loss", d.l1_loss)
+    _bool_flag(parser, "relearn-embeds", d.relearn_embeds)
+    _bool_flag(parser, "use-bf16", d.use_bf16)
+    _bool_flag(parser, "use-pallas", d.use_pallas)
+    return parser
+
+
+def train_main(args) -> dict:
+    from osu_diffusion_tpu.train.trainer import TrainConfig, train
+
+    config = TrainConfig(
+        data_path=args.data_path,
+        num_classes=args.num_classes,
+        data_start=args.data_start,
+        data_end=args.data_end,
+        results_dir=args.results_dir,
+        model=args.model,
+        epochs=args.epochs,
+        global_batch_size=args.global_batch_size,
+        global_seed=args.global_seed,
+        num_workers=args.num_workers,
+        log_every=args.log_every,
+        ckpt_every=args.ckpt_every,
+        seq_len=args.seq_len,
+        stride=args.stride,
+        ckpt=args.ckpt,
+        noise_schedule=args.noise_schedule,
+        l1_loss=args.l1_loss,
+        lr=args.lr,
+        relearn_embeds=args.relearn_embeds,
+        embed_only_epochs=args.embed_only_epochs,
+        num_model=args.num_model,
+        use_bf16=args.use_bf16,
+        use_pallas=args.use_pallas,
+        max_steps=args.max_steps,
+    )
+    return train(config)

@@ -74,6 +74,15 @@ class LabelEmbedder(nn.Module):
     hidden_size: int
     dropout_prob: float
 
+    @staticmethod
+    def table_rows(num_classes: int, dropout_prob: float) -> int:
+        """Logical rows = num_classes (+1 null class when dropout>0, parity
+        models.py:48-52), padded up to a multiple of 16 so the vocab-parallel
+        sharding divides evenly on any reasonable mesh (TPU-native addition;
+        padded rows are never indexed and receive no gradient)."""
+        logical = num_classes + int(dropout_prob > 0)
+        return -(-logical // 16) * 16
+
     @nn.compact
     def __call__(
         self,
@@ -83,7 +92,7 @@ class LabelEmbedder(nn.Module):
     ) -> jnp.ndarray:
         use_cfg_embedding = self.dropout_prob > 0
         table = nn.Embed(
-            self.num_classes + int(use_cfg_embedding),
+            self.table_rows(self.num_classes, self.dropout_prob),
             self.hidden_size,
             embedding_init=normal02,
             name="embedding_table",

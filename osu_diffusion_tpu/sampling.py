@@ -1,0 +1,206 @@
+"""High-level sampling drivers: whole denoising chains as single jitted XLA
+programs, with CFG, banded attention, length bucketing, and in-painting.
+
+Replaces the reference sample-time flow (sample.py:76-205, test_toy.py:32-76):
+there each of the 250-1000 denoise steps is a separate Python-dispatched model
+call; here `Sampler` jit-compiles diffusion.p_sample_loop (a lax.scan) once per
+(batch, length-bucket) and the full chain runs on-device.
+
+Length bucketing: sequences are padded to a multiple of `bucket` (default 128)
+so arbitrary beatmap lengths reuse a small set of compiled programs. Padded
+keys are excluded from attention via the valid-length mask; padded rows are
+sliced off the result.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from osu_diffusion_tpu.diffusion.process import GaussianDiffusion
+from osu_diffusion_tpu.models.dit import DiT
+from osu_diffusion_tpu.ops.attention import banded_attention_mask
+
+
+def _bucketed(t: int, bucket: int) -> int:
+    return max(bucket, -(-t // bucket) * bucket)
+
+
+def _pad_time(a: jnp.ndarray, t_pad: int) -> jnp.ndarray:
+    t = a.shape[1]
+    if t == t_pad:
+        return a
+    widths = [(0, 0), (0, t_pad - t)] + [(0, 0)] * (a.ndim - 2)
+    return jnp.pad(a, widths)
+
+
+class Sampler:
+    """Classifier-free-guidance ancestral sampler.
+
+    Call convention mirrors the reference setup (sample.py:95-108): inputs are
+    the CFG-doubled batch [cond | uncond] along axis 0; the eps-only guidance
+    happens inside DiT.forward_with_cfg (models.py:327-343).
+    """
+
+    def __init__(
+        self,
+        model: DiT,
+        diffusion: GaussianDiffusion,
+        cfg_scale: float = 1.0,
+        band: int | None = None,
+        use_pallas: bool = False,
+        bucket: int = 128,
+        clip_denoised: bool = True,
+    ):
+        self.model = model
+        self.diffusion = diffusion
+        self.cfg_scale = float(cfg_scale)
+        self.band = band
+        self.use_pallas = use_pallas
+        self.bucket = bucket
+        self.clip_denoised = clip_denoised
+        self._cache: dict[tuple, Callable] = {}
+
+    # -- compiled program per (N, T_pad, T_real, inpaint) --------------------
+
+    def _build(self, n: int, t_pad: int, t_real: int, inpaint: bool) -> Callable:
+        band = self.band
+        use_pallas = self.use_pallas and band is not None
+        mask = None
+        if not use_pallas:
+            if band is not None:
+                mask = banded_attention_mask(t_pad, band)
+            else:
+                mask = jnp.ones((t_pad, t_pad), dtype=bool)
+            if t_pad != t_real:
+                mask = mask & (jnp.arange(t_pad)[None, :] < t_real)
+
+        def sample(params, z, o, c, y, rng, known_x, known_mask):
+            def model_fn(x, t, **kw):
+                return self.model.apply(
+                    {"params": params},
+                    x, t, o, c, y,
+                    cfg_scale=self.cfg_scale,
+                    attn_mask=mask,
+                    band=band if use_pallas else None,
+                    use_pallas=use_pallas,
+                    method=DiT.forward_with_cfg,
+                )
+
+            denoised_fn = None
+            if inpaint:
+                denoised_fn = lambda x0: jnp.where(known_mask, x0, known_x)
+
+            return self.diffusion.p_sample_loop(
+                model_fn,
+                z.shape,
+                rng,
+                noise=z,
+                clip_denoised=self.clip_denoised,
+                denoised_fn=denoised_fn,
+            )
+
+        return jax.jit(sample)
+
+    def _build_plain(self, n: int, t_pad: int, t_real: int, inpaint: bool) -> Callable:
+        """No-CFG variant (plain forward, used by the toy evals which sample
+        with the null class and no guidance, test_toy.py:65-74)."""
+        band = self.band
+        use_pallas = self.use_pallas and band is not None
+        mask = None
+        if not use_pallas:
+            if band is not None:
+                mask = banded_attention_mask(t_pad, band)
+            else:
+                mask = jnp.ones((t_pad, t_pad), dtype=bool)
+            if t_pad != t_real:
+                mask = mask & (jnp.arange(t_pad)[None, :] < t_real)
+
+        def sample(params, z, o, c, y, rng, known_x, known_mask):
+            def model_fn(x, t, **kw):
+                return self.model.apply(
+                    {"params": params},
+                    x, t, o, c, y,
+                    attn_mask=mask,
+                    band=band if use_pallas else None,
+                    use_pallas=use_pallas,
+                )
+
+            denoised_fn = None
+            if inpaint:
+                denoised_fn = lambda x0: jnp.where(known_mask, x0, known_x)
+
+            return self.diffusion.p_sample_loop(
+                model_fn,
+                z.shape,
+                rng,
+                noise=z,
+                clip_denoised=self.clip_denoised,
+                denoised_fn=denoised_fn,
+            )
+
+        return jax.jit(sample)
+
+    # -- public API ----------------------------------------------------------
+
+    def __call__(
+        self,
+        params: Any,
+        z: jnp.ndarray,
+        o: jnp.ndarray,
+        c: jnp.ndarray,
+        y: jnp.ndarray,
+        rng: jax.Array,
+        known_x: jnp.ndarray | None = None,
+        known_mask: jnp.ndarray | None = None,
+        use_cfg: bool = True,
+    ) -> jnp.ndarray:
+        """z: (N, T, 2) initial noise; o: (N, T); c: (N, T, 144); y: (N,).
+        With CFG, N must be even ([cond | uncond]). Returns (N, T, 2)."""
+        n, t_real = z.shape[0], z.shape[1]
+        t_pad = _bucketed(t_real, self.bucket)
+        inpaint = known_x is not None
+        key = (n, t_pad, t_real, inpaint, use_cfg)
+        if key not in self._cache:
+            builder = self._build if use_cfg else self._build_plain
+            self._cache[key] = builder(n, t_pad, t_real, inpaint)
+        fn = self._cache[key]
+
+        zp = _pad_time(z, t_pad)
+        op = _pad_time(o, t_pad)
+        cp = _pad_time(c, t_pad)
+        if inpaint:
+            kx = _pad_time(known_x, t_pad)
+            km = _pad_time(known_mask.astype(jnp.bool_), t_pad)
+        else:
+            kx = jnp.zeros_like(zp)
+            km = jnp.zeros(zp.shape, dtype=jnp.bool_)
+        out = fn(params, zp, op, cp, y, rng, kx, km)
+        return out[:, :t_real, :]
+
+
+def prepare_cfg_inputs(
+    seq_x: np.ndarray,
+    seq_o: np.ndarray,
+    seq_c: np.ndarray,
+    class_labels: list[int],
+    num_classes: int,
+    rng: jax.Array,
+):
+    """Build the CFG-doubled sampling inputs from one processed sequence.
+    Parity with the setup in sample.py:95-108: n variants of fresh noise, the
+    sequence context repeated, labels [given | null]."""
+    n = len(class_labels)
+    t = seq_o.shape[-1] if seq_o.ndim == 1 else seq_o.shape[1]
+    z = jax.random.normal(rng, (n, t, 2), jnp.float32)
+    o = jnp.broadcast_to(jnp.asarray(seq_o).reshape(1, t), (n, t))
+    c = jnp.broadcast_to(
+        jnp.asarray(seq_c).reshape(1, t, -1), (n, t, seq_c.shape[-1])
+    )
+    z = jnp.concatenate([z, z], axis=0)
+    o = jnp.concatenate([o, o], axis=0)
+    c = jnp.concatenate([c, c], axis=0)
+    y = jnp.asarray(list(class_labels) + [num_classes] * n, dtype=jnp.int32)
+    return z, o, c, y

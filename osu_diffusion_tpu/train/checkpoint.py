@@ -51,9 +51,15 @@ def torch_state_dict_to_params(state_dict: dict[str, Any]) -> dict:
         "fc2": {"kernel": _t(sd["t_embedder.mlp.2.weight"]),
                 "bias": sd["t_embedder.mlp.2.bias"]},
     }
-    params["y_embedder"] = {
-        "embedding_table": {"embedding": sd["y_embedder.embedding_table.weight"]}
-    }
+    table = sd["y_embedder.embedding_table.weight"]
+    # pad vocab rows to the model's multiple-of-16 table (models/dit.py
+    # LabelEmbedder.table_rows); padded rows are never indexed
+    padded_rows = -(-table.shape[0] // 16) * 16
+    if padded_rows != table.shape[0]:
+        table = np.concatenate(
+            [table, np.zeros((padded_rows - table.shape[0], table.shape[1]),
+                             dtype=table.dtype)], axis=0)
+    params["y_embedder"] = {"embedding_table": {"embedding": table}}
 
     depth = 0
     while f"blocks.{depth}.adaLN_modulation.1.weight" in sd:
@@ -83,11 +89,15 @@ def torch_state_dict_to_params(state_dict: dict[str, Any]) -> dict:
     return _to_jnp(params)
 
 
-def params_to_torch_state_dict(params: dict) -> dict[str, np.ndarray]:
+def params_to_torch_state_dict(
+    params: dict, num_label_rows: int | None = None
+) -> dict[str, np.ndarray]:
     """Flax params dict -> torch-layout state_dict (numpy arrays).
 
     Includes the frozen playfield_size parameter the reference model carries
-    (models.py:222-225) so round-tripped checkpoints load strictly."""
+    (models.py:222-225) so round-tripped checkpoints load strictly.
+    `num_label_rows`: logical label-table rows (num_classes + 1); when given,
+    the padded vocab rows added by LabelEmbedder.table_rows are sliced off."""
     p = _detach_numpy(params)
     sd: dict[str, np.ndarray] = {}
     sd["xoc_embedder.mlp.0.weight"] = _t(p["xoc_embedder"]["proj"]["kernel"])
@@ -97,9 +107,10 @@ def params_to_torch_state_dict(params: dict) -> dict[str, np.ndarray]:
     sd["t_embedder.mlp.0.bias"] = np.asarray(p["t_embedder"]["fc1"]["bias"])
     sd["t_embedder.mlp.2.weight"] = _t(p["t_embedder"]["fc2"]["kernel"])
     sd["t_embedder.mlp.2.bias"] = np.asarray(p["t_embedder"]["fc2"]["bias"])
-    sd["y_embedder.embedding_table.weight"] = np.asarray(
-        p["y_embedder"]["embedding_table"]["embedding"]
-    )
+    table = np.asarray(p["y_embedder"]["embedding_table"]["embedding"])
+    if num_label_rows is not None:
+        table = table[:num_label_rows]
+    sd["y_embedder.embedding_table.weight"] = table
     i = 0
     while f"blocks_{i}" in p:
         b = p[f"blocks_{i}"]
@@ -139,6 +150,92 @@ def load_torch_checkpoint(ckpt_path: str, prefer_ema: bool = True) -> dict:
     elif isinstance(checkpoint, dict) and "model" in checkpoint and not prefer_ema:
         checkpoint = checkpoint["model"]
     return torch_state_dict_to_params(checkpoint)
+
+
+def restore_params_any(ckpt_path: str, model) -> dict:
+    """Load sampling params from either a reference torch `.pt` file or an
+    orbax checkpoint directory saved by save_train_state. EMA weights are
+    preferred in both cases (parity: sample.py:34-35)."""
+    if os.path.isfile(ckpt_path):
+        return load_torch_checkpoint(ckpt_path, prefer_ema=True)
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(ckpt_path))
+    if "ema_params" in restored:
+        return restored["ema_params"]
+    if "params" in restored:
+        return restored["params"]
+    return restored
+
+
+# ---------------------------------------------------------------------------
+# orbax-native checkpoints (replaces torch.save dicts, reference train.py:285-297)
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(ckpt_dir: str, state, step: int) -> str:
+    """Save {params, ema, opt_state, step} under ckpt_dir/<step> (orbax)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"{step:07d}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {
+            "step": state.step,
+            "params": state.params,
+            "ema_params": state.ema_params,
+            "opt_state": state.opt_state,
+        })
+    return path
+
+
+def restore_train_state(path: str, abstract_state):
+    """Restore a TrainState saved by save_train_state; `abstract_state` is a
+    matching TrainState (e.g. freshly initialized) providing shapes/shardings."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path), {
+            "step": abstract_state.step,
+            "params": abstract_state.params,
+            "ema_params": abstract_state.ema_params,
+            "opt_state": abstract_state.opt_state,
+        })
+    return type(abstract_state)(
+        step=restored["step"],
+        params=restored["params"],
+        ema_params=restored["ema_params"],
+        opt_state=restored["opt_state"],
+    )
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    """Newest step directory, for auto-resume (replaces the reference's
+    fixed-path restart loop, train.sh:30-37)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, max(steps, key=int))
+
+
+def save_torch_compatible(path: str, state, args: dict | None = None) -> None:
+    """Export {model, ema} in the reference torch layout so reference tooling
+    can consume checkpoints trained here."""
+    import torch
+
+    torch_sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in params_to_torch_state_dict(state.params).items()
+    }
+    torch_ema = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in params_to_torch_state_dict(state.ema_params).items()
+    }
+    torch.save(
+        {"model": torch_sd, "ema": torch_ema, "args": args or {}}, path
+    )
 
 
 def _detach_numpy(tree):

@@ -1,0 +1,272 @@
+"""Training driver (L5).
+
+Behavioral parity with reference train.py:99-303, TPU-native:
+- torchrun/DDP/process-groups -> single-controller JAX over a ("data","model")
+  mesh; per-host input sharding keyed on jax.process_index().
+- fp16 autocast + GradScaler -> bf16 compute, fp32 params (no scaler).
+- torch.save checkpoints -> orbax {params, ema, opt_state, step}, with
+  auto-resume-latest (improves on the reference's fixed-path restart loop,
+  train.sh:30-37) and optional torch-layout export.
+- log format preserved ("Train Loss: x, Train Steps/Sec: y"), as the
+  reference's plot_loss.py parses it.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from glob import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from osu_diffusion_tpu import CONTEXT_SIZE
+from osu_diffusion_tpu.data.dataset import BeatmapDatasetIterableFactory, get_data_loader
+from osu_diffusion_tpu.diffusion import create_diffusion
+from osu_diffusion_tpu.models import DiT_models
+from osu_diffusion_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    make_train_step,
+    shard_params,
+)
+from osu_diffusion_tpu.parallel.train_step import (
+    create_train_state,
+    make_optimizer,
+)
+from osu_diffusion_tpu.train import checkpoint as ckpt_lib
+from osu_diffusion_tpu.utils.logger import create_logger
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Flag surface parity with reference train.py:306-336 (plus mesh/TPU
+    options; booleans are real booleans, not the reference's `type=bool` trap)."""
+
+    data_path: str
+    num_classes: int = 52670
+    data_start: int = 0
+    data_end: int = 13402
+    results_dir: str = "results"
+    model: str = "DiT-B"
+    epochs: int = 1400
+    global_batch_size: int = 256
+    global_seed: int = 0
+    num_workers: int = 4
+    log_every: int = 100
+    ckpt_every: int = 50_000
+    seq_len: int = 128
+    stride: int = 16
+    ckpt: str | None = None
+    noise_schedule: str = "squaredcos_cap_v2"
+    l1_loss: bool = True
+    lr: float = 1e-4
+    relearn_embeds: bool = False
+    embed_only_epochs: int = 0
+    # TPU-native additions
+    num_model: int = 1  # tensor-parallel degree on the mesh "model" axis
+    use_bf16: bool = True  # replaces --use-amp
+    use_pallas: bool = False
+    max_steps: int | None = None  # optional hard stop (tests/benchmarks)
+    class_dropout_prob: float = 0.2  # parity: train.py:144
+
+
+def _embed_mask(params, trainable_embed_only: bool):
+    def leaf_mask(path, _):
+        is_embed = any(
+            getattr(p, "key", "") == "embedding_table" for p in path
+        )
+        return is_embed if trainable_embed_only else True
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
+def train(config: TrainConfig) -> dict:
+    """Run training; returns a small summary dict (final step, last loss)."""
+    process_index = jax.process_index()
+    num_processes = jax.process_count()
+    rank0 = process_index == 0
+
+    # experiment folder (parity train.py:119-138)
+    experiment_dir = None
+    checkpoint_dir = None
+    if rank0:
+        os.makedirs(config.results_dir, exist_ok=True)
+        experiment_index = len(glob(f"{config.results_dir}/*"))
+        model_string_name = config.model.replace("/", "-")
+        experiment_dir = f"{config.results_dir}/{experiment_index:03d}-{model_string_name}"
+        checkpoint_dir = f"{experiment_dir}/checkpoints"
+        os.makedirs(checkpoint_dir, exist_ok=True)
+    logger = create_logger(experiment_dir, 0 if rank0 else 1)
+    if rank0:
+        logger.info(f"Experiment directory created at {experiment_dir}")
+
+    mesh = make_mesh(num_model=config.num_model)
+    n_devices = len(jax.devices())
+    assert config.global_batch_size % max(1, n_devices // config.num_model) == 0, (
+        "Batch size must be divisible by the data-parallel degree."
+    )
+
+    model = DiT_models[config.model](
+        num_classes=config.num_classes,
+        context_size=CONTEXT_SIZE,
+        class_dropout_prob=config.class_dropout_prob,
+    )
+    diffusion = create_diffusion(
+        timestep_respacing="",
+        noise_schedule=config.noise_schedule,
+        use_l1=config.l1_loss,
+    )
+    optimizer = make_optimizer(lr=config.lr, weight_decay=0.0)
+
+    # init params
+    t_len = config.seq_len
+    init_rng = jax.random.PRNGKey(config.global_seed)
+    variables = model.init(
+        init_rng,
+        jnp.zeros((1, t_len, 2)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, t_len)),
+        jnp.zeros((1, t_len, CONTEXT_SIZE)),
+        jnp.zeros((1,), jnp.int32),
+    )
+    params = variables["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info(f"DiT Parameters: {n_params:,}")
+
+    # resume (parity train.py:203-221): torch .pt or orbax dir
+    if config.ckpt is not None:
+        if os.path.isfile(config.ckpt):
+            loaded = ckpt_lib.load_torch_checkpoint(config.ckpt, prefer_ema=False)
+            ema_loaded = ckpt_lib.load_torch_checkpoint(config.ckpt, prefer_ema=True)
+            if config.relearn_embeds:
+                # keep the fresh table (parity train.py:212-217)
+                loaded["y_embedder"] = params["y_embedder"]
+                ema_loaded["y_embedder"] = params["y_embedder"]
+            params = loaded
+            with mesh:
+                params = shard_params(params, mesh)
+                state = create_train_state(params, optimizer)
+                state = state.replace(ema_params=shard_params(ema_loaded, mesh))
+            logger.info(f"Restored from torch checkpoint at {config.ckpt}")
+        else:
+            with mesh:
+                params = shard_params(params, mesh)
+                state = create_train_state(params, optimizer)
+            state = ckpt_lib.restore_train_state(config.ckpt, state)
+            logger.info(f"Restored from checkpoint at {config.ckpt}")
+    else:
+        with mesh:
+            params = shard_params(params, mesh)
+            state = create_train_state(params, optimizer)
+
+    # data: per-process beatmap-set shard (parity train.py:164-170)
+    per_rank = int(np.ceil((config.data_end - config.data_start) / float(num_processes)))
+    ds_start = config.data_start + process_index * per_rank
+    ds_end = min(ds_start + per_rank, config.data_end)
+    batch_size = config.global_batch_size // num_processes
+    loader = get_data_loader(
+        dataset_path=config.data_path,
+        start=ds_start,
+        end=ds_end,
+        iterable_factory=BeatmapDatasetIterableFactory(
+            config.seq_len, config.stride, seed=config.global_seed + process_index
+        ),
+        cycle_length=max(1, batch_size // 2),
+        batch_size=batch_size,
+        num_workers=config.num_workers,
+        shuffle=True,
+        drop_last=True,
+        seed=config.global_seed + process_index,
+    )
+    logger.info(
+        f"Dataset contains {(ds_end - ds_start):,} beatmap sets ({config.data_path})"
+    )
+
+    trainable_mask = None
+    embed_only = config.embed_only_epochs > 0
+    step_fn_embed_only = None
+    step_fn = jax.jit(
+        make_train_step(
+            model, diffusion, optimizer,
+            compute_dtype=jnp.bfloat16 if config.use_bf16 else jnp.float32,
+        ),
+        donate_argnums=(0,),
+    )
+    if embed_only:
+        mask = _embed_mask(params, True)
+        step_fn_embed_only = jax.jit(
+            make_train_step(
+                model, diffusion, optimizer, trainable_mask=mask,
+                compute_dtype=jnp.bfloat16 if config.use_bf16 else jnp.float32,
+            ),
+            donate_argnums=(0,),
+        )
+        logger.info(
+            f"Freezing non-embedding layers for {config.embed_only_epochs} epochs"
+        )
+
+    b_shard = batch_sharding(mesh)
+    rng = jax.random.PRNGKey(config.global_seed * max(1, num_processes) + process_index)
+
+    train_steps = int(state.step)
+    log_steps = 0
+    running_loss = 0.0
+    start_time = time.time()
+    last_avg_loss = float("nan")
+    logger.info(f"Training for {config.epochs} epochs...")
+
+    stop = False
+    with mesh:
+        for epoch in range(config.epochs):
+            if stop:
+                break
+            logger.info(f"Beginning epoch {epoch}...")
+            if embed_only and epoch == config.embed_only_epochs:
+                logger.info("Un-freezing non-embedding layers")
+                embed_only = False
+            active_step = step_fn_embed_only if embed_only else step_fn
+            for (win, prev_xy), y in loader:
+                batch = jax.device_put(
+                    (jnp.asarray(win), jnp.asarray(prev_xy), jnp.asarray(y)), b_shard
+                )
+                state, metrics = active_step(state, batch, rng)
+                running_loss += float(metrics["loss"])
+                log_steps += 1
+                train_steps += 1
+
+                if train_steps % config.log_every == 0:
+                    jax.block_until_ready(state.params)
+                    end_time = time.time()
+                    steps_per_sec = log_steps / (end_time - start_time)
+                    # loss is already globally averaged by the sharded mean
+                    last_avg_loss = running_loss / log_steps
+                    logger.info(
+                        f"(step={train_steps:07d}) Train Loss: {last_avg_loss:.4f}, "
+                        f"Train Steps/Sec: {steps_per_sec:.2f}"
+                    )
+                    running_loss = 0.0
+                    log_steps = 0
+                    start_time = time.time()
+
+                if (
+                    train_steps % config.ckpt_every == 0
+                    and train_steps > 0
+                    and rank0
+                    and checkpoint_dir is not None
+                ):
+                    path = ckpt_lib.save_train_state(checkpoint_dir, state, train_steps)
+                    logger.info(f"Saved checkpoint to {path}")
+
+                if config.max_steps is not None and train_steps >= config.max_steps:
+                    stop = True
+                    break
+
+    logger.info("Done!")
+    return {
+        "final_step": train_steps,
+        "last_loss": last_avg_loss,
+        "experiment_dir": experiment_dir,
+        "state": state,
+    }

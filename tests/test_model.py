@@ -67,8 +67,9 @@ def test_init_statistics():
     # zero adaLN + final linear
     assert float(jnp.abs(params["blocks_0"]["adaLN"]["kernel"]).max()) == 0.0
     assert float(jnp.abs(params["final_layer"]["linear"]["kernel"]).max()) == 0.0
-    # label table has the +1 null row
-    assert params["y_embedder"]["embedding_table"]["embedding"].shape[0] == 11
+    # label table has the +1 null row, padded to a multiple of 16 for
+    # vocab-parallel sharding
+    assert params["y_embedder"]["embedding_table"]["embedding"].shape[0] == 16
 
 
 def test_label_dropout_train_only():
@@ -250,7 +251,7 @@ def test_golden_parity_with_torch_reference():
     got_masked = np.swapaxes(np.asarray(got_masked), 1, 2)
     np.testing.assert_allclose(got_masked, ref_masked, rtol=1e-4, atol=2e-4)
 
-    # and the converter round-trips
-    sd2 = params_to_torch_state_dict(params["params"])
+    # and the converter round-trips (slicing off the vocab padding)
+    sd2 = params_to_torch_state_dict(params["params"], num_label_rows=8)
     for k, v in ref.state_dict().items():
         np.testing.assert_allclose(sd2[k], v.numpy(), atol=1e-7)
