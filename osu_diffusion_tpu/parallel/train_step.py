@@ -127,3 +127,26 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_multi_train_step(single_step: Callable, k: int) -> Callable:
+    """Wrap a train step in a lax.scan over k stacked microbatches.
+
+    One device dispatch then runs k optimizer steps — essential on dispatch-
+    latency-bound links (the axon TPU tunnel costs ~1-2s per jit call; the
+    reference's per-step Python loop train.py:243 would be dispatch-bound the
+    same way). `batches` leaves carry a leading (k, ...) axis; the per-step rng
+    distinctness comes from the fold-in on state.step inside the single step.
+
+    Returns (final_state, metrics) with metrics averaged over the k steps.
+    """
+
+    def multi_step(state: TrainState, batches, rng: jax.Array):
+        def body(s, b):
+            s2, m = single_step(s, b, rng)
+            return s2, m
+
+        state, ms = jax.lax.scan(body, state, batches, length=k)
+        return state, jax.tree.map(lambda a: a.mean(), ms)
+
+    return multi_step

@@ -70,6 +70,7 @@ class TrainConfig:
     use_pallas: bool = False
     max_steps: int | None = None  # optional hard stop (tests/benchmarks)
     class_dropout_prob: float = 0.2  # parity: train.py:144
+    steps_per_call: int = 8  # optimizer steps fused per device dispatch (scan)
 
 
 def _embed_mask(params, trainable_embed_only: bool):
@@ -184,25 +185,26 @@ def train(config: TrainConfig) -> dict:
         f"Dataset contains {(ds_end - ds_start):,} beatmap sets ({config.data_path})"
     )
 
-    trainable_mask = None
+    from osu_diffusion_tpu.parallel.train_step import make_multi_train_step
+
     embed_only = config.embed_only_epochs > 0
-    step_fn_embed_only = None
-    step_fn = jax.jit(
-        make_train_step(
-            model, diffusion, optimizer,
-            compute_dtype=jnp.bfloat16 if config.use_bf16 else jnp.float32,
-        ),
-        donate_argnums=(0,),
-    )
-    if embed_only:
-        mask = _embed_mask(params, True)
-        step_fn_embed_only = jax.jit(
-            make_train_step(
-                model, diffusion, optimizer, trainable_mask=mask,
-                compute_dtype=jnp.bfloat16 if config.use_bf16 else jnp.float32,
-            ),
-            donate_argnums=(0,),
+    k = max(1, config.steps_per_call)
+    compute_dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
+
+    def _jit_steps(trainable_mask=None):
+        single = make_train_step(
+            model, diffusion, optimizer, trainable_mask=trainable_mask,
+            compute_dtype=compute_dtype,
         )
+        return (
+            jax.jit(single, donate_argnums=(0,)),
+            jax.jit(make_multi_train_step(single, k), donate_argnums=(0,)),
+        )
+
+    step_fn, multi_fn = _jit_steps()
+    step_fn_embed_only = multi_fn_embed_only = None
+    if embed_only:
+        step_fn_embed_only, multi_fn_embed_only = _jit_steps(_embed_mask(params, True))
         logger.info(
             f"Freezing non-embedding layers for {config.embed_only_epochs} epochs"
         )
@@ -218,6 +220,50 @@ def train(config: TrainConfig) -> dict:
     logger.info(f"Training for {config.epochs} epochs...")
 
     stop = False
+    pending_metrics: list = []  # device arrays, synced only at log time
+
+    def _after_steps(n_steps, metrics):
+        nonlocal train_steps, log_steps, running_loss, start_time, last_avg_loss, stop
+        pending_metrics.append((n_steps, metrics["loss"]))
+        log_steps += n_steps
+        train_steps += n_steps
+        if train_steps % config.log_every < n_steps:
+            # drain pending device metrics (single sync point)
+            total = sum(n * float(l) for n, l in pending_metrics)
+            running_loss += total
+            pending_metrics.clear()
+            end_time = time.time()
+            steps_per_sec = log_steps / (end_time - start_time)
+            # loss is already globally averaged by the sharded mean
+            last_avg_loss = running_loss / log_steps
+            logger.info(
+                f"(step={train_steps:07d}) Train Loss: {last_avg_loss:.4f}, "
+                f"Train Steps/Sec: {steps_per_sec:.2f}"
+            )
+            running_loss = 0.0
+            log_steps = 0
+            start_time = time.time()
+        if (
+            train_steps % config.ckpt_every < n_steps
+            and train_steps >= config.ckpt_every
+            and rank0
+            and checkpoint_dir is not None
+        ):
+            path = ckpt_lib.save_train_state(checkpoint_dir, state, train_steps)
+            logger.info(f"Saved checkpoint to {path}")
+        if config.max_steps is not None and train_steps >= config.max_steps:
+            stop = True
+
+    def _stack_batches(items):
+        wins = jnp.asarray(np.stack([b[0] for b in items]))
+        prevs = jnp.asarray(np.stack([b[1] for b in items]))
+        ys = jnp.asarray(np.stack([b[2] for b in items]))
+        return jax.device_put((wins, prevs, ys), b_shard_multi)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    b_shard_multi = NamedSharding(mesh, P(None, "data"))
+
     with mesh:
         for epoch in range(config.epochs):
             if stop:
@@ -226,42 +272,26 @@ def train(config: TrainConfig) -> dict:
             if embed_only and epoch == config.embed_only_epochs:
                 logger.info("Un-freezing non-embedding layers")
                 embed_only = False
-            active_step = step_fn_embed_only if embed_only else step_fn
+            active_single = step_fn_embed_only if embed_only else step_fn
+            active_multi = multi_fn_embed_only if embed_only else multi_fn
+            buf: list = []
             for (win, prev_xy), y in loader:
+                buf.append((win, prev_xy, y))
+                if len(buf) == k:
+                    state, metrics = active_multi(state, _stack_batches(buf), rng)
+                    buf.clear()
+                    _after_steps(k, metrics)
+                    if stop:
+                        break
+            # flush the epoch-tail remainder through the single step
+            for win, prev_xy, y in buf:
+                if stop:
+                    break
                 batch = jax.device_put(
                     (jnp.asarray(win), jnp.asarray(prev_xy), jnp.asarray(y)), b_shard
                 )
-                state, metrics = active_step(state, batch, rng)
-                running_loss += float(metrics["loss"])
-                log_steps += 1
-                train_steps += 1
-
-                if train_steps % config.log_every == 0:
-                    jax.block_until_ready(state.params)
-                    end_time = time.time()
-                    steps_per_sec = log_steps / (end_time - start_time)
-                    # loss is already globally averaged by the sharded mean
-                    last_avg_loss = running_loss / log_steps
-                    logger.info(
-                        f"(step={train_steps:07d}) Train Loss: {last_avg_loss:.4f}, "
-                        f"Train Steps/Sec: {steps_per_sec:.2f}"
-                    )
-                    running_loss = 0.0
-                    log_steps = 0
-                    start_time = time.time()
-
-                if (
-                    train_steps % config.ckpt_every == 0
-                    and train_steps > 0
-                    and rank0
-                    and checkpoint_dir is not None
-                ):
-                    path = ckpt_lib.save_train_state(checkpoint_dir, state, train_steps)
-                    logger.info(f"Saved checkpoint to {path}")
-
-                if config.max_steps is not None and train_steps >= config.max_steps:
-                    stop = True
-                    break
+                state, metrics = active_single(state, batch, rng)
+                _after_steps(1, metrics)
 
     logger.info("Done!")
     return {

@@ -119,6 +119,43 @@ def test_trainable_mask_freezes_params():
     )
 
 
+def test_multi_step_matches_sequential_singles():
+    """k scanned steps == k sequential single steps (same rng fold-in chain)."""
+    from osu_diffusion_tpu.parallel.train_step import make_multi_train_step
+
+    model = _model()
+    diffusion = create_diffusion("", use_l1=True)
+    opt = make_optimizer(lr=1e-3)
+    single = make_train_step(model, diffusion, opt, compute_dtype=jnp.float32)
+    k = 3
+    multi = jax.jit(make_multi_train_step(single, k))
+    single_j = jax.jit(single)
+    rng = jax.random.PRNGKey(7)
+
+    batches = [_batch(seed=s) for s in range(k)]
+    stacked = tuple(jnp.stack([b[i] for b in batches]) for i in range(3))
+
+    s_a = _init_state(model, opt)
+    s_a, m_multi = multi(s_a, stacked, rng)
+
+    s_b = _init_state(model, opt)
+    losses = []
+    for b in batches:
+        s_b, m = single_j(s_b, b, rng)
+        losses.append(m["loss"])
+
+    assert int(s_a.step) == int(s_b.step) == k
+    np.testing.assert_allclose(
+        np.asarray(m_multi["loss"]), np.mean([float(l) for l in losses]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        s_a.params, s_b.params,
+    )
+
+
 def test_mesh_and_sharded_train_step():
     """Full DP+TP train step over a 4x2 virtual mesh."""
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
