@@ -59,6 +59,7 @@ def make_train_step(
     augment: bool = True,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     trainable_mask: Any = None,
+    max_timestep: int | None = None,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -66,6 +67,8 @@ def make_train_step(
     `trainable_mask`: optional pytree of {True,False} matching params — False
     entries get zero updates (the reference's embedding-freeze flows,
     train.py:56-63,223-241).
+    `max_timestep`: cap the uniform timestep draw; max_timestep=1 trains only
+    t=0, producing the "refine model" (parity: train_nodist.py:222).
     Returns (new_state, metrics) with metrics {loss, l1|mse, vb}.
     """
 
@@ -76,7 +79,8 @@ def make_train_step(
 
         x, o, c = process_batch(raw, prev_xy, proc_rng, augment=augment)
         n = x.shape[0]
-        t = jax.random.randint(t_rng, (n,), 0, diffusion.num_timesteps)
+        t_hi = diffusion.num_timesteps if max_timestep is None else max_timestep
+        t = jax.random.randint(t_rng, (n,), 0, t_hi)
         noise = jax.random.normal(noise_rng, x.shape, jnp.float32)
 
         def loss_fn(params):

@@ -71,6 +71,8 @@ class TrainConfig:
     max_steps: int | None = None  # optional hard stop (tests/benchmarks)
     class_dropout_prob: float = 0.2  # parity: train.py:144
     steps_per_call: int = 8  # optimizer steps fused per device dispatch (scan)
+    max_timestep: int | None = None  # cap timestep draw; 1 = refine-model mode
+    augment: bool = True
 
 
 def _embed_mask(params, trainable_embed_only: bool):
@@ -194,7 +196,8 @@ def train(config: TrainConfig) -> dict:
     def _jit_steps(trainable_mask=None):
         single = make_train_step(
             model, diffusion, optimizer, trainable_mask=trainable_mask,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, max_timestep=config.max_timestep,
+            augment=config.augment,
         )
         return (
             jax.jit(single, donate_argnums=(0,)),

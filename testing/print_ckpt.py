@@ -1,0 +1,9 @@
+#!/usr/bin/env python
+"""CLI-surface wrapper matching the reference testing/print_ckpt.py (see
+osu_diffusion_tpu/evals/embeddings.py for the subcommand forms)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from osu_diffusion_tpu.evals.embeddings import main
+
+if __name__ == "__main__":
+    main()

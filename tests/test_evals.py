@@ -1,0 +1,187 @@
+"""Eval harness tests: toy example construction, in-paint eval plumbing,
+pattern repair, spacing fidelity, embedding analytics, tooling."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osu_diffusion_tpu.beatmap import Beatmap
+from osu_diffusion_tpu.data.featurize import beatmap_to_sequence
+from osu_diffusion_tpu.diffusion import create_diffusion
+from osu_diffusion_tpu.evals import distances as ev_dist
+from osu_diffusion_tpu.evals import embeddings as ev_emb
+from osu_diffusion_tpu.evals import tooling as ev_tool
+from osu_diffusion_tpu.evals.plot_loss import parse_losses
+from osu_diffusion_tpu.evals.toy import (
+    SUITES,
+    evaluate_suite,
+    example_from_beatmap,
+    load_example_folder,
+    load_filler_seq,
+)
+from osu_diffusion_tpu.evals import unfuck as ev_unfuck
+from osu_diffusion_tpu.models.dit import DiT, DiTConfig
+from osu_diffusion_tpu.sampling import Sampler
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets", "toy_datasets")
+CTX = 144
+
+
+def test_filler_and_examples_load():
+    filler = load_filler_seq(ASSETS)
+    assert filler.shape[1] == 19 and filler.shape[0] > 500
+    data = load_example_folder("geometry", None, ASSETS)
+    assert len(data) == 17  # SURVEY §4: geometry suite has 17 fixtures
+    seq, label = data[0]
+    assert seq.shape[1] == 19 and label.shape == (2,)
+    np.testing.assert_allclose(seq[-1, :2], label)
+
+
+def test_example_padding_to_seq_len():
+    filler = load_filler_seq(ASSETS)
+    files = sorted(os.listdir(os.path.join(ASSETS, "geometry")))
+    bm = Beatmap.from_path(os.path.join(ASSETS, "geometry", files[0]))
+    seq, label = example_from_beatmap(bm, 128, filler)
+    assert seq.shape == (128, 19)
+    np.testing.assert_allclose(seq[-1, :2], label)
+    # time monotone across the filler/pattern seam
+    assert (np.diff(seq[:, 2]) >= -1e-4).all()
+
+
+def _tiny_model_and_params(t):
+    model = DiT(DiTConfig(hidden_size=32, depth=1, num_heads=2, num_classes=4,
+                          context_size=CTX, class_dropout_prob=0.1))
+    y = jnp.zeros((1,), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, t, 2)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, t)), jnp.zeros((1, t, CTX)), y,
+    )["params"]
+    return model, params
+
+
+def test_toy_eval_runs_end_to_end():
+    """Random tiny model through the whole in-paint eval (2 predictions,
+    2 steps) — exercises the batched in-paint path."""
+    model, params = _tiny_model_and_params(32)
+    diffusion = create_diffusion("2")
+    sampler = Sampler(model, diffusion, band=128, bucket=64)
+    res = evaluate_suite(sampler, params, "geometry", num_predictions=2,
+                         num_classes=4, seq_len=None, rng=jax.random.PRNGKey(0),
+                         assets_dir=ASSETS)
+    assert res["total"] == 2 * 17
+    assert 0.0 <= res["accuracy"] <= 1.0
+
+
+def test_unfuck_runs_and_reports():
+    model, params = _tiny_model_and_params(32)
+    diffusion = create_diffusion(None)
+    res = ev_unfuck.evaluate_suite(
+        model, diffusion, params, "geometry", num_predictions=2,
+        num_sampling_steps=2, num_classes=4, seq_len=64, magnitude=5.0,
+        rng=jax.random.PRNGKey(0), assets_dir=ASSETS,
+    )
+    assert res["mean_fucked_distance"] > 0
+    assert res["mean_unfucked_distance"] >= 0
+    assert res["num_predictions"] > 0
+
+
+def test_fuckup_pattern_only_touches_span():
+    rng = np.random.default_rng(0)
+    seq = np.zeros((10, 19), np.float32)
+    out = ev_unfuck.fuckup_pattern(seq, 3, 7, 5.0, rng)
+    assert np.all(out[:3] == 0) and np.all(out[7:] == 0)
+    assert np.any(out[3:7, :2] != 0)
+    assert np.all(out[3:7, 2:] == 0)
+
+
+def test_distance_fidelity_self_is_zero():
+    path = os.path.join(ASSETS, "kimi_no_bouken.osu")
+    bm = Beatmap.from_path(path)
+    res = ev_dist.compare_spacing(bm, bm)
+    assert res["mse"] == 0.0 and res["mae"] == 0.0
+
+
+def test_distance_fidelity_detects_offset(tmp_path):
+    path = os.path.join(ASSETS, "kimi_no_bouken.osu")
+    bm = Beatmap.from_path(path)
+    import copy
+
+    bm2 = Beatmap.from_path(path)
+    for ho in bm2._hit_objects:
+        from osu_diffusion_tpu.beatmap.objects import Position
+
+        ho.position = Position(ho.position.x + 3, ho.position.y)
+    res = ev_dist.compare_spacing(bm, bm2)
+    assert res is not None and res["mae"] > 0
+
+
+def test_embedding_analytics():
+    table = np.random.RandomState(0).randn(20, 8).astype(np.float32)
+    idx = {100 + i: i for i in range(20)}
+    far = ev_emb.find_similar(table, idx, 105, k=3)
+    assert len(far) <= 3 and all(isinstance(b, int) for b, _ in far)
+    near = ev_emb.find_nearest(table, idx, 105, k=3)
+    assert len(near) == 3
+    assert all(b != 105 for b, _ in near)
+    # SVM separates two well-separated groups
+    g0 = np.arange(0, 10)
+    g1 = np.arange(10, 20)
+    table2 = table.copy()
+    table2[g1] += 10.0
+    clf = ev_emb.fit_tag_svm(table2, [g0, g1])
+    assert ev_emb.svm_accuracy(clf, table2, g1, 1) == 1.0
+    md = ev_emb.mean_distance_to_group(table2, g0)
+    assert md.shape == (20,) and md[g1].mean() > md[g0].mean()
+
+
+def test_tooling_idx_and_dataframe(tmp_path):
+    # synthesize a 2-track Mapperator-style dataset
+    for i in range(2):
+        track = tmp_path / f"Track{i:05d}"
+        track.mkdir()
+        beatmaps = {}
+        for j in range(2):
+            idx = i * 2 + j
+            beatmaps[f"{idx:06d}M{j:03d}"] = {
+                "BeatmapId": 1000 + idx, "Ruleset": 0, "MD5Hash": "x",
+                "Difficulty": f"d{j}", "OnlineOffset": 0, "DrainTime": 60,
+                "TotalTime": 70, "RankedStatus": 4, "CirclesCount": 10,
+                "SpinnersCount": 0, "SlidersCount": 5, "CircleSize": 4,
+                "ApproachRate": 9, "OverallDifficulty": 8, "HPDrain": 5,
+                "SliderVelocity": 1.4, "StackLeniency": 0.7,
+                "StandardStarRating": {"0": 5.5},
+            }
+        (track / "metadata.json").write_text(json.dumps({
+            "BeatmapSetId": 2000 + i, "Artist": "a", "Title": "t",
+            "Creator": "c", "Source": "", "Tags": "", "Beatmaps": beatmaps,
+        }))
+    idx = ev_tool.build_beatmap_idx(str(tmp_path), num_tracks=2)
+    assert idx == {1000: 0, 1001: 1, 1002: 2, 1003: 3}
+    df = ev_tool.build_beatmap_dataframe(str(tmp_path), num_tracks=2)
+    assert len(df) == 4 and df["StarRating"].iloc[0] == 5.5
+    res = ev_tool.validate_beatmap_dataframe(df)
+    assert res["unique_ids"] == 4 and len(res["duplicates"]) == 0
+
+
+def test_plot_loss_parses_trainer_format(tmp_path):
+    log = tmp_path / "log.txt"
+    log.write_text(
+        "[\033[34m2026-01-01 00:00:00\033[0m] (step=0000100) "
+        "Train Loss: 0.1234, Train Steps/Sec: 12.34\n"
+        "[\033[34m2026-01-01 00:01:00\033[0m] (step=0000200) "
+        "Train Loss: 0.0987, Train Steps/Sec: 12.34\n"
+    )
+    assert parse_losses(str(log)) == [0.1234, 0.0987]
+
+
+def test_bundled_beatmap_idx_pickle_loads():
+    import pickle
+
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "beatmap_idx.pickle")
+    with open(path, "rb") as f:
+        idx = pickle.load(f)
+    assert len(idx) == 52670  # BASELINE.md dataset scale
