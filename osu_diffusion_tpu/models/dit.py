@@ -226,6 +226,10 @@ class DiTConfig:
     class_dropout_prob: float = 0.1
     num_classes: int = 1000
     learn_sigma: bool = True
+    # rematerialize each block in the backward pass: trades ~30% more FLOPs for
+    # O(depth) less activation memory — essential for large-batch training on a
+    # 16 GB chip (jax.checkpoint; no reference equivalent, torch retains all)
+    remat: bool = True
 
     @property
     def out_channels(self) -> int:
@@ -267,10 +271,22 @@ class DiT(nn.Module):
             cfg.num_classes, cfg.hidden_size, cfg.class_dropout_prob, name="y_embedder"
         )(y, train, force_drop_ids)
         cond = t_emb + y_emb  # parity: models.py:320
+
+        if cfg.remat:
+            # band/use_pallas are Python statics (closure); x/cond/mask traced
+            def block_call(mdl, h, cv, m):
+                return mdl(h, cv, m, band, use_pallas)
+
+            run_block = nn.remat(block_call, prevent_cse=False)
+        else:
+            def run_block(mdl, h, cv, m):
+                return mdl(h, cv, m, band, use_pallas)
+
         for i in range(cfg.depth):
-            x = DiTBlock(
+            block = DiTBlock(
                 cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, name=f"blocks_{i}"
-            )(x, cond, attn_mask, band, use_pallas)
+            )
+            x = run_block(block, x, cond, attn_mask)
         return FinalLayer(cfg.hidden_size, cfg.out_channels, name="final_layer")(x, cond)
 
     def forward_with_cfg(

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark: DiT-B train step, samples/sec/chip and MFU.
+
+Not the driver headline (bench.py is); used to track the >50%-MFU north star
+(BASELINE.json) during development.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e (v5 lite) peak bf16 FLOP/s per chip
+
+
+def model_flops_per_step(n_params_active: int, batch: int, seq_len: int) -> float:
+    """6·P·tokens forward+backward estimate, attention excluded (small at T=128)."""
+    return 6.0 * n_params_active * batch * seq_len
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="DiT-B")
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--seq-len", type=int, default=128)
+    parser.add_argument("--steps-per-call", type=int, default=8)
+    parser.add_argument("--calls", type=int, default=3)
+    parser.add_argument("--num-classes", type=int, default=52670)
+    parser.add_argument("--no-bf16", action="store_true")
+    args = parser.parse_args()
+
+    from osu_diffusion_tpu import CONTEXT_SIZE
+    from osu_diffusion_tpu.diffusion import create_diffusion
+    from osu_diffusion_tpu.models import DiT_models
+    from osu_diffusion_tpu.parallel import batch_sharding, make_mesh, make_train_step
+    from osu_diffusion_tpu.parallel.train_step import (
+        create_train_state,
+        make_multi_train_step,
+        make_optimizer,
+    )
+    from osu_diffusion_tpu.parallel.sharding import shard_params
+
+    model = DiT_models[args.model](
+        num_classes=args.num_classes, context_size=CONTEXT_SIZE,
+        class_dropout_prob=0.2,
+    )
+    diffusion = create_diffusion("", noise_schedule="squaredcos_cap_v2", use_l1=True)
+    opt = make_optimizer()
+    n, t = args.batch, args.seq_len
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, t, 2)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, t)), jnp.zeros((2, t, CONTEXT_SIZE)), jnp.zeros((2,), jnp.int32),
+    )["params"]
+    # active params exclude the embedding table (only 1-2 rows touched per item)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    table = params["y_embedder"]["embedding_table"]["embedding"]
+    n_active = n_params - int(np.prod(table.shape))
+
+    mesh = make_mesh(num_model=1)
+    with mesh:
+        params = shard_params(params, mesh)
+        state = create_train_state(params, opt)
+        single = make_train_step(
+            model, diffusion, opt,
+            compute_dtype=jnp.float32 if args.no_bf16 else jnp.bfloat16,
+        )
+        k = args.steps_per_call
+        multi = jax.jit(make_multi_train_step(single, k), donate_argnums=(0,))
+
+        r = np.random.RandomState(0)
+        raw = r.rand(k, n, t, 19).astype(np.float32)
+        raw[..., :2] *= [512, 384]
+        raw[..., 2] = np.cumsum(r.rand(k, n, t), axis=-1) * 200
+        prev = np.tile([256.0, 192.0], (k, n, 1)).astype(np.float32)
+        y = r.randint(0, args.num_classes, (k, n)).astype(np.int32)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch = jax.device_put(
+            (jnp.asarray(raw), jnp.asarray(prev), jnp.asarray(y)),
+            NamedSharding(mesh, P(None, "data")),
+        )
+
+        state, m = multi(state, batch, jax.random.PRNGKey(1))  # compile+warm
+        jax.block_until_ready(m["loss"])
+        start = time.perf_counter()
+        for i in range(args.calls):
+            state, m = multi(state, batch, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(m["loss"])
+        elapsed = time.perf_counter() - start
+
+    steps = args.calls * k
+    steps_per_sec = steps / elapsed
+    samples_per_sec = steps_per_sec * n
+    flops = model_flops_per_step(n_active, n, t)
+    mfu = steps_per_sec * flops / V5E_BF16_PEAK_FLOPS
+    print(json.dumps({
+        "model": args.model,
+        "batch": n,
+        "seq_len": t,
+        "steps_per_sec": round(steps_per_sec, 3),
+        "samples_per_sec": round(samples_per_sec, 1),
+        "est_flops_per_step": flops,
+        "mfu": round(mfu, 4),
+        "loss": float(m["loss"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
