@@ -150,11 +150,30 @@ class SelfAttention(nn.Module):
         )
 
 
+class DenseParams(nn.Module):
+    """Parameter holder with nn.Dense-compatible tree naming ({kernel, bias}),
+    so the fused kernels can consume raw weights while checkpoints stay
+    layout-identical to the Dense-based path."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", xavier, (self.features_in, self.features_out))
+        b = self.param("bias", zeros, (self.features_out,))
+        return k, b
+
+
 class DiTBlock(nn.Module):
     """adaLN-Zero transformer block. Parity: models.py:122-175.
 
     adaLN output order: (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp,
     gate_mlp) — models.py:151-159.
+
+    With use_pallas=True the MLP half runs as the fused adaLN-MLP Pallas kernel
+    (ops/pallas_mlp.py) and attention as the banded flash kernel when a band is
+    set (ops/pallas_attention.py).
     """
 
     hidden_size: int
@@ -184,12 +203,20 @@ class DiTBlock(nn.Module):
             h, mask, band, use_pallas
         )
         x = x + gate_msa[:, None, :] * attn
-        h = modulate(ln("norm2")(x), shift_mlp, scale_mlp)
+
         mlp_hidden = int(self.hidden_size * self.mlp_ratio)
-        h = nn.Dense(mlp_hidden, kernel_init=xavier, name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=True)  # GELU-tanh, parity models.py:138
-        h = nn.Dense(self.hidden_size, kernel_init=xavier, name="mlp_fc2")(h)
-        x = x + gate_mlp[:, None, :] * h
+        w1, b1 = DenseParams(self.hidden_size, mlp_hidden, name="mlp_fc1")()
+        w2, b2 = DenseParams(mlp_hidden, self.hidden_size, name="mlp_fc2")()
+        if use_pallas:
+            from osu_diffusion_tpu.ops.pallas_mlp import adaln_mlp
+
+            x = adaln_mlp(x, shift_mlp, scale_mlp, gate_mlp, w1, b1, w2, b2)
+        else:
+            h = modulate(ln("norm2")(x), shift_mlp, scale_mlp)
+            h = jnp.dot(h, w1, preferred_element_type=jnp.float32).astype(x.dtype) + b1
+            h = nn.gelu(h, approximate=True)  # GELU-tanh, parity models.py:138
+            h = jnp.dot(h, w2, preferred_element_type=jnp.float32).astype(x.dtype) + b2
+            x = x + gate_mlp[:, None, :] * h
         return x
 
 

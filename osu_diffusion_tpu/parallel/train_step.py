@@ -60,6 +60,8 @@ def make_train_step(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     trainable_mask: Any = None,
     max_timestep: int | None = None,
+    use_pallas: bool = False,
+    band: int | None = None,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -93,6 +95,8 @@ def make_train_step(
                     c.astype(compute_dtype),
                     y,
                     train=True,
+                    band=band,
+                    use_pallas=use_pallas,
                     rngs={"label_dropout": drop_rng},
                 )
                 return out.astype(jnp.float32)

@@ -197,7 +197,7 @@ def train(config: TrainConfig) -> dict:
         single = make_train_step(
             model, diffusion, optimizer, trainable_mask=trainable_mask,
             compute_dtype=compute_dtype, max_timestep=config.max_timestep,
-            augment=config.augment,
+            augment=config.augment, use_pallas=config.use_pallas,
         )
         return (
             jax.jit(single, donate_argnums=(0,)),

@@ -1,0 +1,98 @@
+"""Fused adaLN-MLP kernel vs the reference jnp path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import osu_diffusion_tpu.ops.pallas_mlp as pm
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    orig = pm.pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pm.pl, "pallas_call", patched)
+
+
+def _inputs(n=2, t=16, d=32, h=64, seed=0):
+    r = jax.random.PRNGKey(seed)
+    ks = jax.random.split(r, 8)
+    return (
+        jax.random.normal(ks[0], (n, t, d)),
+        jax.random.normal(ks[1], (n, d)) * 0.1,
+        jax.random.normal(ks[2], (n, d)) * 0.1,
+        jax.random.normal(ks[3], (n, d)) * 0.1,
+        jax.random.normal(ks[4], (d, h)) * 0.05,
+        jax.random.normal(ks[5], (h,)) * 0.05,
+        jax.random.normal(ks[6], (h, d)) * 0.05,
+        jax.random.normal(ks[7], (d,)) * 0.05,
+    )
+
+
+@pytest.mark.parametrize("t,block_t", [(16, 16), (32, 8), (20, 16)])
+def test_kernel_matches_reference(t, block_t):
+    args = _inputs(t=t)
+    got = pm.adaln_mlp(*args, block_t, 1e-6)
+    want = pm._reference_impl(*args, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_matches_dit_block_mlp_half():
+    """The kernel must equal the DiTBlock XLA MLP half exactly (same LN, same
+    modulate, same GELU-tanh, same gate+residual)."""
+    import flax.linen as nn
+
+    args = _inputs()
+    x, shift, scale, gate, w1, b1, w2, b2 = args
+    ln = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False)
+    h = ln.apply({}, x) * (1 + scale[:, None, :]) + shift[:, None, :]
+    h = jnp.dot(h, w1) + b1
+    h = nn.gelu(h, approximate=True)
+    h = jnp.dot(h, w2) + b2
+    want = x + gate[:, None, :] * h
+    got = pm.adaln_mlp(*args, 16, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_gradients_match_reference():
+    args = _inputs(t=8, d=16, h=32)
+
+    def loss_kernel(*a):
+        return jnp.sum(pm.adaln_mlp(*a, 8, 1e-6) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(pm._reference_impl(*a, eps=1e-6) ** 2)
+
+    g_got = jax.grad(loss_kernel, argnums=tuple(range(8)))(*args)
+    g_want = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_model_level_pallas_mlp_consistency():
+    """DiT forward with use_pallas (no band -> attention stays XLA, MLP fused)
+    must match the plain path."""
+    import osu_diffusion_tpu.ops.pallas_attention  # noqa: F401
+    from osu_diffusion_tpu.models.dit import DiT, DiTConfig
+
+    model = DiT(DiTConfig(hidden_size=32, depth=2, num_heads=2, num_classes=4,
+                          context_size=144, class_dropout_prob=0.1))
+    r = np.random.RandomState(0)
+    n, t = 2, 16
+    x = jnp.asarray(r.rand(n, t, 2), jnp.float32)
+    ts = jnp.asarray(r.randint(0, 1000, (n,)))
+    o = jnp.asarray(r.rand(n, t) * 100, jnp.float32)
+    c = jnp.asarray(r.rand(n, t, 144), jnp.float32)
+    y = jnp.asarray(r.randint(0, 4, (n,)))
+    params = model.init(jax.random.PRNGKey(0), x, ts, o, c, y)
+    # make outputs nonzero
+    params = jax.tree.map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.PRNGKey(5), p.shape), params
+    )
+    plain = model.apply(params, x, ts, o, c, y)
+    fused = model.apply(params, x, ts, o, c, y, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), rtol=2e-4, atol=2e-5)
