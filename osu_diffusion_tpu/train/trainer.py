@@ -105,8 +105,12 @@ def train(config: TrainConfig) -> dict:
     if rank0:
         logger.info(f"Experiment directory created at {experiment_dir}")
 
-    mesh = make_mesh(num_model=config.num_model)
     n_devices = len(jax.devices())
+    # a 1-device mesh still routes through the SPMD executable path, which on
+    # some runtimes (the axon tunnel) costs seconds per dispatch — use plain
+    # single-device execution unless there is actual parallelism
+    use_mesh = n_devices > 1
+    mesh = make_mesh(num_model=config.num_model) if use_mesh else None
     assert config.global_batch_size % max(1, n_devices // config.num_model) == 0, (
         "Batch size must be divisible by the data-parallel degree."
     )
@@ -148,21 +152,22 @@ def train(config: TrainConfig) -> dict:
                 loaded["y_embedder"] = params["y_embedder"]
                 ema_loaded["y_embedder"] = params["y_embedder"]
             params = loaded
-            with mesh:
+            if use_mesh:
                 params = shard_params(params, mesh)
-                state = create_train_state(params, optimizer)
-                state = state.replace(ema_params=shard_params(ema_loaded, mesh))
+                ema_loaded = shard_params(ema_loaded, mesh)
+            state = create_train_state(params, optimizer)
+            state = state.replace(ema_params=ema_loaded)
             logger.info(f"Restored from torch checkpoint at {config.ckpt}")
         else:
-            with mesh:
+            if use_mesh:
                 params = shard_params(params, mesh)
-                state = create_train_state(params, optimizer)
+            state = create_train_state(params, optimizer)
             state = ckpt_lib.restore_train_state(config.ckpt, state)
             logger.info(f"Restored from checkpoint at {config.ckpt}")
     else:
-        with mesh:
+        if use_mesh:
             params = shard_params(params, mesh)
-            state = create_train_state(params, optimizer)
+        state = create_train_state(params, optimizer)
 
     # data: per-process beatmap-set shard (parity train.py:164-170)
     per_rank = int(np.ceil((config.data_end - config.data_start) / float(num_processes)))
@@ -212,7 +217,7 @@ def train(config: TrainConfig) -> dict:
             f"Freezing non-embedding layers for {config.embed_only_epochs} epochs"
         )
 
-    b_shard = batch_sharding(mesh)
+    b_shard = batch_sharding(mesh) if use_mesh else None
     rng = jax.random.PRNGKey(config.global_seed * max(1, num_processes) + process_index)
 
     train_steps = int(state.step)
@@ -261,13 +266,15 @@ def train(config: TrainConfig) -> dict:
         wins = jnp.asarray(np.stack([b[0] for b in items]))
         prevs = jnp.asarray(np.stack([b[1] for b in items]))
         ys = jnp.asarray(np.stack([b[2] for b in items]))
-        return jax.device_put((wins, prevs, ys), b_shard_multi)
+        out = (wins, prevs, ys)
+        return jax.device_put(out, b_shard_multi) if use_mesh else out
 
     from jax.sharding import NamedSharding, PartitionSpec as P
+    import contextlib
 
-    b_shard_multi = NamedSharding(mesh, P(None, "data"))
+    b_shard_multi = NamedSharding(mesh, P(None, "data")) if use_mesh else None
 
-    with mesh:
+    with (mesh if use_mesh else contextlib.nullcontext()):
         for epoch in range(config.epochs):
             if stop:
                 break
@@ -290,9 +297,9 @@ def train(config: TrainConfig) -> dict:
             for win, prev_xy, y in buf:
                 if stop:
                     break
-                batch = jax.device_put(
-                    (jnp.asarray(win), jnp.asarray(prev_xy), jnp.asarray(y)), b_shard
-                )
+                batch = (jnp.asarray(win), jnp.asarray(prev_xy), jnp.asarray(y))
+                if use_mesh:
+                    batch = jax.device_put(batch, b_shard)
                 state, metrics = active_single(state, batch, rng)
                 _after_steps(1, metrics)
 

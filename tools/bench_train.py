@@ -65,9 +65,15 @@ def main() -> None:
     table = params["y_embedder"]["embedding_table"]["embedding"]
     n_active = n_params - int(np.prod(table.shape))
 
-    mesh = make_mesh(num_model=1)
-    with mesh:
-        params = shard_params(params, mesh)
+    # single-device: plain execution (the SPMD path costs seconds/dispatch on
+    # tunneled runtimes); multi-device: mesh + sharding
+    import contextlib
+
+    use_mesh = len(jax.devices()) > 1
+    mesh = make_mesh(num_model=1) if use_mesh else None
+    with (mesh if use_mesh else contextlib.nullcontext()):
+        if use_mesh:
+            params = shard_params(params, mesh)
         state = create_train_state(params, opt)
         single = make_train_step(
             model, diffusion, opt,
@@ -84,10 +90,9 @@ def main() -> None:
         y = r.randint(0, args.num_classes, (k, n)).astype(np.int32)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        batch = jax.device_put(
-            (jnp.asarray(raw), jnp.asarray(prev), jnp.asarray(y)),
-            NamedSharding(mesh, P(None, "data")),
-        )
+        batch = (jnp.asarray(raw), jnp.asarray(prev), jnp.asarray(y))
+        if use_mesh:
+            batch = jax.device_put(batch, NamedSharding(mesh, P(None, "data")))
 
         state, m = multi(state, batch, jax.random.PRNGKey(1))  # compile+warm
         jax.block_until_ready(m["loss"])
