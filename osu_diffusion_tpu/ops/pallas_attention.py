@@ -29,7 +29,8 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _banded_attn_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, band: int, block: int, t_real: int, scale: float
+    q_ref, k_ref, v_ref, o_ref, *, band: int, block: int, t_real: int,
+    scale: float, matmul_dtype,
 ):
     """One (batch*head, q-block) program.
 
@@ -41,7 +42,9 @@ def _banded_attn_kernel(
     n_kb = t_pad // block
     dh = q_ref.shape[2]
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (B, Dh)
+    # matmul inputs in matmul_dtype (f32 accumulate); bf16 default matches
+    # XLA's MXU passes, tests use f32 for exact comparison
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(matmul_dtype)  # (B, Dh)
     q_idx = j * block + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
 
     reach = _cdiv(band, block)
@@ -54,8 +57,8 @@ def _banded_attn_kernel(
         kb_valid = jnp.logical_and(kb >= 0, kb < n_kb)
         kb_c = jnp.clip(kb, 0, n_kb - 1)
         start = pl.multiple_of(kb_c * block, block)
-        k_blk = k_ref[0, pl.ds(start, block), :].astype(jnp.float32)  # (B, Dh)
-        v_blk = v_ref[0, pl.ds(start, block), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(start, block), :].astype(matmul_dtype)  # (B, Dh)
+        v_blk = v_ref[0, pl.ds(start, block), :].astype(matmul_dtype)
 
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -77,14 +80,15 @@ def _banded_attn_kernel(
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(matmul_dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         m = m_new
 
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _banded_flash_fwd_impl(q, k, v, band: int, block: int) -> jnp.ndarray:
+def _banded_flash_fwd_impl(q, k, v, band: int, block: int, matmul_dtype) -> jnp.ndarray:
     n, h, t, dh = q.shape
     t_pad = _cdiv(t, block) * block
     pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
@@ -96,7 +100,8 @@ def _banded_flash_fwd_impl(q, k, v, band: int, block: int) -> jnp.ndarray:
     grid = (n * h, t_pad // block)
     out = pl.pallas_call(
         functools.partial(
-            _banded_attn_kernel, band=band, block=block, t_real=t, scale=scale
+            _banded_attn_kernel, band=band, block=block, t_real=t, scale=scale,
+            matmul_dtype=matmul_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct((n * h, t_pad, dh), q.dtype),
         grid=grid,
@@ -119,20 +124,20 @@ def _xla_banded_attention(q, k, v, band: int) -> jnp.ndarray:
     return dot_product_attention(q, k, v, banded_attention_mask(q.shape[2], band))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def banded_flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-    band: int, block: int = DEFAULT_BLOCK,
+    band: int, block: int = DEFAULT_BLOCK, matmul_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """q,k,v: (N, H, T, Dh) -> (N, H, T, Dh), band half-width L (static)."""
-    return _banded_flash_fwd_impl(q, k, v, band, block)
+    return _banded_flash_fwd_impl(q, k, v, band, block, matmul_dtype)
 
 
-def _fwd(q, k, v, band, block):
-    return _banded_flash_fwd_impl(q, k, v, band, block), (q, k, v)
+def _fwd(q, k, v, band, block, matmul_dtype):
+    return _banded_flash_fwd_impl(q, k, v, band, block, matmul_dtype), (q, k, v)
 
 
-def _bwd(band, block, res, g):
+def _bwd(band, block, matmul_dtype, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda a, b, c: _xla_banded_attention(a, b, c, band), q, k, v)
     return vjp(g)

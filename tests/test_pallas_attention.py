@@ -36,7 +36,7 @@ def _qkv(n=1, h=2, t=128, dh=32, seed=0):
 ])
 def test_kernel_matches_dense_mask(t, band, block):
     q, k, v = _qkv(t=t)
-    got = pa.banded_flash_attention(q, k, v, band, block)
+    got = pa.banded_flash_attention(q, k, v, band, block, jnp.float32)
     want = dot_product_attention(q, k, v, banded_attention_mask(t, band))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
@@ -46,7 +46,7 @@ def test_band_asymmetry_exact():
     must reproduce it exactly, not a symmetric approximation."""
     t, band, block = 64, 8, 32
     q, k, v = _qkv(t=t, h=1)
-    got = pa.banded_flash_attention(q, k, v, band, block)
+    got = pa.banded_flash_attention(q, k, v, band, block, jnp.float32)
     want = dot_product_attention(q, k, v, banded_attention_mask(t, band))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
     # sanity: shifting the band by one breaks agreement
@@ -61,7 +61,7 @@ def test_gradients_flow():
     q, k, v = _qkv(t=64, dh=16)
 
     def loss(q, k, v):
-        return jnp.sum(pa.banded_flash_attention(q, k, v, 16, 32) ** 2)
+        return jnp.sum(pa.banded_flash_attention(q, k, v, 16, 32, jnp.float32) ** 2)
 
     g_got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 

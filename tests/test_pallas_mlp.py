@@ -36,7 +36,7 @@ def _inputs(n=2, t=16, d=32, h=64, seed=0):
 @pytest.mark.parametrize("t,block_t", [(16, 16), (32, 8), (20, 16)])
 def test_kernel_matches_reference(t, block_t):
     args = _inputs(t=t)
-    got = pm.adaln_mlp(*args, block_t, 1e-6)
+    got = pm.adaln_mlp(*args, block_t, 1e-6, jnp.float32)
     want = pm._reference_impl(*args, eps=1e-6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
@@ -54,7 +54,7 @@ def test_matches_dit_block_mlp_half():
     h = nn.gelu(h, approximate=True)
     h = jnp.dot(h, w2) + b2
     want = x + gate[:, None, :] * h
-    got = pm.adaln_mlp(*args, 16, 1e-6)
+    got = pm.adaln_mlp(*args, 16, 1e-6, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
@@ -62,7 +62,7 @@ def test_gradients_match_reference():
     args = _inputs(t=8, d=16, h=32)
 
     def loss_kernel(*a):
-        return jnp.sum(pm.adaln_mlp(*a, 8, 1e-6) ** 2)
+        return jnp.sum(pm.adaln_mlp(*a, 8, 1e-6, jnp.float32) ** 2)
 
     def loss_ref(*a):
         return jnp.sum(pm._reference_impl(*a, eps=1e-6) ** 2)
@@ -95,4 +95,5 @@ def test_model_level_pallas_mlp_consistency():
     )
     plain = model.apply(params, x, ts, o, c, y)
     fused = model.apply(params, x, ts, o, c, y, use_pallas=True)
-    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), rtol=2e-4, atol=2e-5)
+    # production kernels use bf16 matmul inputs -> bf16-level agreement
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), rtol=3e-2, atol=3e-2)
