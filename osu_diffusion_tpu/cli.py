@@ -271,6 +271,7 @@ def build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num-model", type=int, default=d.num_model)
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--steps-per-call", type=int, default=d.steps_per_call)
+    parser.add_argument("--profile-dir", type=str, default=None)
     _bool_flag(parser, "l1-loss", d.l1_loss)
     _bool_flag(parser, "relearn-embeds", d.relearn_embeds)
     _bool_flag(parser, "use-bf16", d.use_bf16)
@@ -307,5 +308,6 @@ def train_main(args) -> dict:
         use_pallas=args.use_pallas,
         max_steps=args.max_steps,
         steps_per_call=args.steps_per_call,
+        profile_dir=args.profile_dir,
     )
     return train(config)

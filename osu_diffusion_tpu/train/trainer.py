@@ -73,6 +73,8 @@ class TrainConfig:
     steps_per_call: int = 8  # optimizer steps fused per device dispatch (scan)
     max_timestep: int | None = None  # cap timestep draw; 1 = refine-model mode
     augment: bool = True
+    profile_dir: str | None = None  # write a jax.profiler trace of early steps
+    profile_steps: int = 3  # device dispatches to capture
 
 
 def _embed_mask(params, trainable_embed_only: bool):
@@ -229,6 +231,11 @@ def train(config: TrainConfig) -> dict:
 
     stop = False
     pending_metrics: list = []  # device arrays, synced only at log time
+    profiling = config.profile_dir is not None
+    profile_calls_left = config.profile_steps if profiling else 0
+    if profiling:
+        jax.profiler.start_trace(config.profile_dir)
+        logger.info(f"Profiling first {config.profile_steps} dispatches to {config.profile_dir}")
 
     def _after_steps(n_steps, metrics):
         nonlocal train_steps, log_steps, running_loss, start_time, last_avg_loss, stop
@@ -290,6 +297,13 @@ def train(config: TrainConfig) -> dict:
                 if len(buf) == k:
                     state, metrics = active_multi(state, _stack_batches(buf), rng)
                     buf.clear()
+                    if profiling and profile_calls_left > 0:
+                        profile_calls_left -= 1
+                        if profile_calls_left == 0:
+                            jax.block_until_ready(metrics["loss"])
+                            jax.profiler.stop_trace()
+                            profiling = False
+                            logger.info("Profiler trace written")
                     _after_steps(k, metrics)
                     if stop:
                         break
