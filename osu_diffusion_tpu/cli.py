@@ -67,6 +67,8 @@ def build_sample_parser() -> argparse.ArgumentParser:
     _bool_flag(parser, "make-animation", False)
     _bool_flag(parser, "use-pallas", True)
     _bool_flag(parser, "augment-flip", False)
+    parser.add_argument("--sampling-method", type=str, default="ancestral",
+                        choices=["ancestral", "ddim"])
     return parser
 
 
@@ -128,7 +130,7 @@ def sample_main(args) -> list[str]:
 
     sampler = Sampler(
         model, diffusion, cfg_scale=args.cfg_scale, band=args.seq_len,
-        use_pallas=args.use_pallas,
+        use_pallas=args.use_pallas, method=args.sampling_method,
     )
 
     n = len(class_labels)

@@ -57,7 +57,7 @@ def _adaln_mlp_kernel(
     # XLA's MXU passes, tests use f32 for exact comparison
     h = jnp.dot(h.astype(matmul_dtype), w1_ref[...].astype(matmul_dtype),
                 preferred_element_type=jnp.float32)
-    h = h + b1_ref[...].astype(jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)  # b1 block is (1, BH)
     h = jax.nn.gelu(h, approximate=True)  # GELU-tanh, parity models.py:138
     partial = jnp.dot(
         h.astype(matmul_dtype), w2_ref[...].astype(matmul_dtype),
@@ -67,7 +67,7 @@ def _adaln_mlp_kernel(
     @pl.when(k == 0)
     def _():
         o_ref[0] = (
-            x + gate * (partial + b2_ref[...].astype(jnp.float32))
+            x + gate * (partial + b2_ref[0].astype(jnp.float32))
         ).astype(o_ref.dtype)
 
     @pl.when(k > 0)
@@ -89,6 +89,10 @@ def _adaln_mlp_fwd_impl(x, shift, scale, gate, w1, b1, w2, b2,
     if t_pad != t:
         x = jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
 
+    # biases as (1, H): 1-D operands trip Mosaic's tiling when blocked
+    b1_2d = b1.reshape(1, hdim)
+    b2_2d = b2.reshape(1, d)
+
     grid = (n, t_pad // block_t, hdim // block_h)
     out = pl.pallas_call(
         functools.partial(_adaln_mlp_kernel, eps=eps, matmul_dtype=matmul_dtype),
@@ -100,14 +104,14 @@ def _adaln_mlp_fwd_impl(x, shift, scale, gate, w1, b1, w2, b2,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # scale
             pl.BlockSpec(memory_space=pltpu.VMEM),  # gate
             pl.BlockSpec((d, block_h), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_h,), lambda i, j, k: (k,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_h, d), lambda i, j, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 (D,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 (1, D)
         ],
         out_specs=pl.BlockSpec(
             (1, block_t, d), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM
         ),
-    )(x, shift, scale, gate, w1, b1, w2, b2)
+    )(x, shift, scale, gate, w1, b1_2d, w2, b2_2d)
     return out[:, :t, :]
 
 

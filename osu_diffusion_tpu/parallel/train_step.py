@@ -34,15 +34,33 @@ class TrainState:
     opt_state: Any
 
 
-def create_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+def create_train_state(
+    params, optimizer: optax.GradientTransformation, mesh=None
+) -> TrainState:
     """EMA starts as a copy of the weights (parity: train.py:194-198 update_ema
-    with decay=0)."""
-    return TrainState(
+    with decay=0).
+
+    When `mesh` is given, scalar leaves created here (step, the optimizer's
+    count) are replicated over it so they are device-compatible with sharded
+    params in one jitted computation."""
+    state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         ema_params=jax.tree.map(jnp.copy, params),
         opt_state=optimizer.init(params),
     )
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def _fix(x):
+            if isinstance(x, jax.Array) and len(x.sharding.device_set) == 1:
+                return jax.device_put(x, rep)
+            return x
+
+        state = jax.tree.map(_fix, state)
+    return state
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.0) -> optax.GradientTransformation:

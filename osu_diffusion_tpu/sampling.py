@@ -53,6 +53,7 @@ class Sampler:
         use_pallas: bool = False,
         bucket: int = 128,
         clip_denoised: bool = True,
+        method: str = "ancestral",  # or "ddim"
     ):
         self.model = model
         self.diffusion = diffusion
@@ -61,6 +62,9 @@ class Sampler:
         self.use_pallas = use_pallas
         self.bucket = bucket
         self.clip_denoised = clip_denoised
+        if method not in ("ancestral", "ddim"):
+            raise ValueError(f"unknown sampling method: {method}")
+        self.method = method
         self._cache: dict[tuple, Callable] = {}
 
     # -- compiled program per (N, T_pad, T_real, inpaint) --------------------
@@ -93,7 +97,12 @@ class Sampler:
             if inpaint:
                 denoised_fn = lambda x0: jnp.where(known_mask, x0, known_x)
 
-            return self.diffusion.p_sample_loop(
+            loop = (
+                self.diffusion.ddim_sample_loop
+                if self.method == "ddim"
+                else self.diffusion.p_sample_loop
+            )
+            return loop(
                 model_fn,
                 z.shape,
                 rng,
@@ -132,7 +141,12 @@ class Sampler:
             if inpaint:
                 denoised_fn = lambda x0: jnp.where(known_mask, x0, known_x)
 
-            return self.diffusion.p_sample_loop(
+            loop = (
+                self.diffusion.ddim_sample_loop
+                if self.method == "ddim"
+                else self.diffusion.p_sample_loop
+            )
+            return loop(
                 model_fn,
                 z.shape,
                 rng,

@@ -157,19 +157,19 @@ def train(config: TrainConfig) -> dict:
             if use_mesh:
                 params = shard_params(params, mesh)
                 ema_loaded = shard_params(ema_loaded, mesh)
-            state = create_train_state(params, optimizer)
+            state = create_train_state(params, optimizer, mesh if use_mesh else None)
             state = state.replace(ema_params=ema_loaded)
             logger.info(f"Restored from torch checkpoint at {config.ckpt}")
         else:
             if use_mesh:
                 params = shard_params(params, mesh)
-            state = create_train_state(params, optimizer)
+            state = create_train_state(params, optimizer, mesh if use_mesh else None)
             state = ckpt_lib.restore_train_state(config.ckpt, state)
             logger.info(f"Restored from checkpoint at {config.ckpt}")
     else:
         if use_mesh:
             params = shard_params(params, mesh)
-        state = create_train_state(params, optimizer)
+        state = create_train_state(params, optimizer, mesh if use_mesh else None)
 
     # data: per-process beatmap-set shard (parity train.py:164-170)
     per_rank = int(np.ceil((config.data_end - config.data_start) / float(num_processes)))

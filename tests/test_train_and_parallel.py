@@ -170,7 +170,7 @@ def test_mesh_and_sharded_train_step():
         # embedding table rows sharded over "model" (half the rows per shard)
         emb = params["y_embedder"]["embedding_table"]["embedding"]
         assert emb.sharding.shard_shape(emb.shape)[0] == emb.shape[0] // 2
-        state = create_train_state(params, opt)
+        state = create_train_state(params, opt, mesh)
         step = jax.jit(make_train_step(model, diffusion, opt,
                                        compute_dtype=jnp.float32))
         batch = jax.device_put(_batch(8, 16), batch_sharding(mesh))

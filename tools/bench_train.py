@@ -74,7 +74,7 @@ def main() -> None:
     with (mesh if use_mesh else contextlib.nullcontext()):
         if use_mesh:
             params = shard_params(params, mesh)
-        state = create_train_state(params, opt)
+        state = create_train_state(params, opt, mesh)
         single = make_train_step(
             model, diffusion, opt,
             compute_dtype=jnp.float32 if args.no_bf16 else jnp.bfloat16,
