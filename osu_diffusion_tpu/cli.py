@@ -278,6 +278,7 @@ def build_train_parser() -> argparse.ArgumentParser:
     _bool_flag(parser, "relearn-embeds", d.relearn_embeds)
     _bool_flag(parser, "use-bf16", d.use_bf16)
     _bool_flag(parser, "use-pallas", d.use_pallas)
+    _bool_flag(parser, "multihost", False)
     return parser
 
 
@@ -311,5 +312,6 @@ def train_main(args) -> dict:
         max_steps=args.max_steps,
         steps_per_call=args.steps_per_call,
         profile_dir=args.profile_dir,
+        multihost=args.multihost,
     )
     return train(config)

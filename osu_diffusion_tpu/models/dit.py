@@ -299,7 +299,9 @@ class DiT(nn.Module):
         )(y, train, force_drop_ids)
         cond = t_emb + y_emb  # parity: models.py:320
 
-        if cfg.remat:
+        if cfg.remat and train:
+            # training only — inference never differentiates, so remat would
+            # just slow tracing/compilation there.
             # band/use_pallas are Python statics (closure); x/cond/mask traced
             def block_call(mdl, h, cv, m):
                 return mdl(h, cv, m, band, use_pallas)

@@ -75,6 +75,7 @@ class TrainConfig:
     augment: bool = True
     profile_dir: str | None = None  # write a jax.profiler trace of early steps
     profile_steps: int = 3  # device dispatches to capture
+    multihost: bool = False  # call jax.distributed.initialize() (DCN across hosts)
 
 
 def _embed_mask(params, trainable_embed_only: bool):
@@ -89,6 +90,10 @@ def _embed_mask(params, trainable_embed_only: bool):
 
 def train(config: TrainConfig) -> dict:
     """Run training; returns a small summary dict (final step, last loss)."""
+    if config.multihost:
+        # single-controller multi-host: ICI inside a slice, DCN between hosts
+        # (replaces torchrun rendezvous, reference train.py:106)
+        jax.distributed.initialize()
     process_index = jax.process_index()
     num_processes = jax.process_count()
     rank0 = process_index == 0
