@@ -167,6 +167,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--num-predictions", type=int, default=100)
     parser.add_argument("--tests", type=str, nargs="*", default=SUITES)
+    parser.add_argument("--generate", type=str, default=None,
+                        help="single fixture (relative to the toy root): print "
+                             "per-prediction coordinates (parity test_toy.py:154-167)")
     parser.add_argument("--seq-len", type=int, default=None)
     parser.add_argument("--noise-schedule", type=str, default="squaredcos_cap_v2")
     parser.add_argument("--assets-dir", type=str, default=None)
@@ -182,6 +185,26 @@ def main(argv=None):
     # banded attention only above the trained window (parity test_toy.py:37-42)
     sampler = Sampler(model, diffusion, band=128)
     rng = jax.random.PRNGKey(args.seed)
+
+    if args.generate is not None:
+        path = os.path.join(_toy_root(args.assets_dir), args.generate)
+        beatmap = Beatmap.from_path(path)
+        end_time = beatmap.hit_objects()[-1].time.total_seconds() * 1000
+        filler = load_filler_seq(args.assets_dir)
+        seq, pos = example_from_beatmap(beatmap, args.seq_len, filler)
+        preds = generate_predictions(
+            sampler, params, seq, args.num_predictions, args.num_classes, rng
+        )
+        distances = np.linalg.norm(preds - pos, axis=1)
+        good = int((distances < GOOD_RADIUS_PX).sum())
+        print(
+            f"Generate example correct predictions = "
+            f"{good / len(preds) * 100}% ({good}/{len(preds)})"
+        )
+        for p_ in preds:
+            print(f"{round(float(p_[0]))},{round(float(p_[1]))},{round(end_time)},1,0,0:0:0:0:")
+        return
+
     for suite in args.tests:
         print(suite)
         res = evaluate_suite(
