@@ -80,6 +80,9 @@ def sample_main(args) -> list[str]:
     flips the map — SURVEY.md §7 defect list). Default here is no flip;
     --augment-flip restores the reference behavior.
     """
+    from osu_diffusion_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     rng = jax.random.PRNGKey(args.seed)
 
     beatmap = Beatmap.from_path(args.beatmap)
@@ -271,6 +274,9 @@ def build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lr", type=float, default=d.lr)
     parser.add_argument("--embed-only-epochs", type=int, default=d.embed_only_epochs)
     parser.add_argument("--num-model", type=int, default=d.num_model)
+    parser.add_argument("--fine-tune-ids", type=str, default=None,
+                        help="accepted for reference flag parity (train.py:330); "
+                             "the reference never uses it either")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--steps-per-call", type=int, default=d.steps_per_call)
     parser.add_argument("--profile-dir", type=str, default=None)

@@ -90,6 +90,9 @@ def _embed_mask(params, trainable_embed_only: bool):
 
 def train(config: TrainConfig) -> dict:
     """Run training; returns a small summary dict (final step, last loss)."""
+    from osu_diffusion_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     if config.multihost:
         # single-controller multi-host: ICI inside a slice, DCN between hosts
         # (replaces torchrun rendezvous, reference train.py:106)
