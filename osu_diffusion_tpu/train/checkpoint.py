@@ -158,9 +158,31 @@ def restore_params_any(ckpt_path: str, model) -> dict:
     preferred in both cases (parity: sample.py:34-35)."""
     if os.path.isfile(ckpt_path):
         return load_torch_checkpoint(ckpt_path, prefer_ema=True)
+    import jax
+    import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
+    # abstract target from the model so orbax restores with known topology
+    target = None
+    if model is not None:
+        cfg = model.config
+        t = 8
+        abstract = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, t, cfg.in_channels)), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, t)), jnp.zeros((1, t, cfg.context_size)),
+                jnp.zeros((1,), jnp.int32),
+            )
+        )["params"]
     with ocp.StandardCheckpointer() as ckptr:
+        if model is not None:
+            try:
+                return ckptr.restore(
+                    os.path.abspath(ckpt_path), {"ema_params": abstract}
+                )["ema_params"]
+            except Exception:
+                pass
         restored = ckptr.restore(os.path.abspath(ckpt_path))
     if "ema_params" in restored:
         return restored["ema_params"]
