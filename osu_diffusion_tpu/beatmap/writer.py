@@ -9,7 +9,7 @@ from __future__ import annotations
 from datetime import timedelta
 from pathlib import Path
 
-from osu_diffusion_tpu.beatmap.objects import Beatmap, Circle, Slider, Spinner
+from osu_diffusion_tpu.beatmap.objects import Beatmap, Slider, Spinner
 
 
 def _ms(t: timedelta) -> int:

@@ -27,7 +27,7 @@ from osu_diffusion_tpu.diffusion import create_diffusion
 from osu_diffusion_tpu.export import create_beatmap, plot_beatmap
 from osu_diffusion_tpu.models import DiT_models
 from osu_diffusion_tpu.sampling import Sampler, prepare_cfg_inputs
-from osu_diffusion_tpu.train.checkpoint import load_torch_checkpoint, restore_params_any
+from osu_diffusion_tpu.train.checkpoint import restore_params_any
 
 CLEAN_FILENAME_RX = re.compile(r"[/\\?%*:|\"<>\x7F\x00-\x1F]")
 

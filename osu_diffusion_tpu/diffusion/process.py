@@ -27,7 +27,7 @@ Parity quirks preserved on purpose:
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import flax.struct
 import jax

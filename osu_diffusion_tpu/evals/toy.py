@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from osu_diffusion_tpu.beatmap import Beatmap, Spinner
+from osu_diffusion_tpu.beatmap import Beatmap
 from osu_diffusion_tpu.data.featurize import beatmap_to_sequence
 from osu_diffusion_tpu.data.process import split_and_process_sequence_no_augment
 from osu_diffusion_tpu.sampling import Sampler

@@ -22,7 +22,7 @@ and the final linear (adaLN-Zero identity start).
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import flax.linen as nn
 import flax.struct

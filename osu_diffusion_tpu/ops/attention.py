@@ -11,8 +11,6 @@ fallback) plus the mask construction, with the exact reference band semantics.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

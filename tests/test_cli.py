@@ -1,0 +1,90 @@
+"""Sample-CLI end-to-end on CPU: tiny model injected into the registry, real
+argument parsing, full parse->featurize->sample->decode->write flow."""
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osu_diffusion_tpu import CONTEXT_SIZE
+from osu_diffusion_tpu.models import DiT_models
+from osu_diffusion_tpu.models.dit import DiT, DiTConfig
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets", "toy_datasets")
+
+
+@pytest.fixture()
+def tiny_registry(monkeypatch):
+    def tiny(**kw):
+        return DiT(DiTConfig(hidden_size=32, depth=1, num_heads=2, **kw))
+
+    monkeypatch.setitem(DiT_models, "DiT-T", tiny)
+    return "DiT-T"
+
+
+@pytest.fixture()
+def tiny_ckpt(tiny_registry, tmp_path):
+    torch = pytest.importorskip("torch")
+    from osu_diffusion_tpu.train.checkpoint import params_to_torch_state_dict
+
+    model = DiT_models[tiny_registry](num_classes=52670, context_size=CONTEXT_SIZE)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 2)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 8)), jnp.zeros((1, 8, CONTEXT_SIZE)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in params_to_torch_state_dict(params, num_label_rows=52671).items()
+    }
+    path = str(tmp_path / "tiny.pt")
+    torch.save({"ema": sd}, path)
+    return path
+
+
+@pytest.mark.parametrize("method", ["ancestral", "ddim"])
+def test_sample_cli_end_to_end(tiny_registry, tiny_ckpt, tmp_path, method):
+    from osu_diffusion_tpu.cli import build_sample_parser, sample_main
+
+    # a short fixture keeps the chain fast on CPU
+    beatmap = os.path.join(ASSETS, "geometry", "test - geometry (OliBomby) [test0].osu")
+    results = str(tmp_path / "results")
+    args = build_sample_parser().parse_args([
+        "--beatmap", beatmap,
+        "--ckpt", tiny_ckpt,
+        "--model", tiny_registry,
+        "--num-sampling-steps", "3",
+        "--results-dir", results,
+        "--sampling-method", method,
+        "--no-use-pallas",
+    ])
+    written = sample_main(args)
+    assert len(written) == 1
+    from osu_diffusion_tpu.beatmap import Beatmap
+
+    out = Beatmap.from_path(written[0])
+    ref = Beatmap.from_path(beatmap)
+    assert len(out.hit_objects()) == len(ref.hit_objects())
+    # rhythm preserved exactly: times match the input skeleton
+    for a, b in zip(ref.hit_objects(), out.hit_objects()):
+        assert abs((a.time - b.time).total_seconds()) < 2e-3
+
+
+def test_sample_cli_style_id(tiny_registry, tiny_ckpt, tmp_path):
+    from osu_diffusion_tpu.cli import build_sample_parser, sample_main
+
+    beatmap = os.path.join(ASSETS, "geometry", "test - geometry (OliBomby) [test0].osu")
+    args = build_sample_parser().parse_args([
+        "--beatmap", beatmap,
+        "--ckpt", tiny_ckpt,
+        "--model", tiny_registry,
+        "--num-sampling-steps", "2",
+        "--results-dir", str(tmp_path / "results"),
+        "--style-id", "2116103",  # present in the bundled beatmap_idx.pickle
+        "--num-variants", "2",
+        "--no-use-pallas",
+    ])
+    written = sample_main(args)
+    assert len(written) == 2  # two style variants
