@@ -67,6 +67,7 @@ def build_sample_parser() -> argparse.ArgumentParser:
     _bool_flag(parser, "make-animation", False)
     _bool_flag(parser, "use-pallas", True)
     _bool_flag(parser, "augment-flip", False)
+    _bool_flag(parser, "scan-blocks", False)
     parser.add_argument("--sampling-method", type=str, default="ancestral",
                         choices=["ancestral", "ddim"])
     return parser
@@ -111,7 +112,8 @@ def sample_main(args) -> list[str]:
     print(f"seq len {seq_len}")
 
     model = DiT_models[args.model](
-        num_classes=args.num_classes, context_size=CONTEXT_SIZE
+        num_classes=args.num_classes, context_size=CONTEXT_SIZE,
+        scan_blocks=args.scan_blocks,
     )
     params = restore_params_any(args.ckpt, model)
     diffusion = create_diffusion(
@@ -285,6 +287,7 @@ def build_train_parser() -> argparse.ArgumentParser:
     _bool_flag(parser, "use-bf16", d.use_bf16)
     _bool_flag(parser, "use-pallas", d.use_pallas)
     _bool_flag(parser, "multihost", False)
+    _bool_flag(parser, "scan-blocks", d.scan_blocks)
     return parser
 
 
@@ -319,5 +322,6 @@ def train_main(args) -> dict:
         steps_per_call=args.steps_per_call,
         profile_dir=args.profile_dir,
         multihost=args.multihost,
+        scan_blocks=args.scan_blocks,
     )
     return train(config)

@@ -257,6 +257,14 @@ class DiTConfig:
     # O(depth) less activation memory — essential for large-batch training on a
     # 16 GB chip (jax.checkpoint; no reference equivalent, torch retains all)
     remat: bool = True
+    # scan over the depth axis: one traced/compiled block instead of `depth`
+    # unrolled copies — 4.4x faster cold compiles (measured DiT-S sampling:
+    # 386s -> 87s) at ~10% runtime cost (XLA loses cross-layer optimization).
+    # Params live under "blocks" with a leading (depth, ...) axis; the torch
+    # checkpoint converter stacks/unstacks at the boundary. Off by default:
+    # runtime (the headline benchmark) wins over compile latency, and the
+    # persistent compilation cache amortizes repeat compiles anyway.
+    scan_blocks: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -299,23 +307,43 @@ class DiT(nn.Module):
         )(y, train, force_drop_ids)
         cond = t_emb + y_emb  # parity: models.py:320
 
-        if cfg.remat and train:
-            # training only — inference never differentiates, so remat would
-            # just slow tracing/compilation there.
-            # band/use_pallas are Python statics (closure); x/cond/mask traced
-            def block_call(mdl, h, cv, m):
-                return mdl(h, cv, m, band, use_pallas)
+        # band/use_pallas are Python statics (closure); x/cond/mask traced.
+        # remat applies in training only — inference never differentiates, so
+        # it would just slow tracing there.
+        def block_call(mdl, h, cv, m):
+            return mdl(h, cv, m, band, use_pallas)
 
-            run_block = nn.remat(block_call, prevent_cse=False)
-        else:
-            def run_block(mdl, h, cv, m):
-                return mdl(h, cv, m, band, use_pallas)
+        use_remat = cfg.remat and train
 
-        for i in range(cfg.depth):
-            block = DiTBlock(
-                cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, name=f"blocks_{i}"
+        if cfg.scan_blocks:
+            def scan_body(mdl, carry, _):
+                return block_call(mdl, carry, cond, attn_mask), None
+
+            target = (
+                nn.remat(scan_body, prevent_cse=False) if use_remat else scan_body
             )
-            x = run_block(block, x, cond, attn_mask)
+            scan = nn.scan(
+                target,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.depth,
+            )
+            x, _ = scan(
+                DiTBlock(
+                    cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, name="blocks"
+                ),
+                x,
+                None,
+            )
+        else:
+            run_block = (
+                nn.remat(block_call, prevent_cse=False) if use_remat else block_call
+            )
+            for i in range(cfg.depth):
+                block = DiTBlock(
+                    cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, name=f"blocks_{i}"
+                )
+                x = run_block(block, x, cond, attn_mask)
         return FinalLayer(cfg.hidden_size, cfg.out_channels, name="final_layer")(x, cond)
 
     def forward_with_cfg(

@@ -24,19 +24,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def param_partition_spec(path: tuple[str, ...], value: Any) -> P:
-    """PartitionSpec for one parameter, keyed on its flax path."""
+    """PartitionSpec for one parameter, keyed on its flax path.
+
+    Axis positions are taken from the END of the shape so the rules work for
+    both unrolled (in, out) kernels and nn.scan-stacked (depth, in, out) ones.
+    """
     names = [getattr(p, "key", str(p)) for p in path]
     joined = "/".join(names)
+    ndim = getattr(value, "ndim", len(getattr(value, "shape", ())))
+
+    def spec_at(axis_from_end: int) -> P:
+        axes = [None] * ndim
+        axes[ndim - 1 - axis_from_end] = "model"
+        return P(*axes)
+
     if "embedding_table" in joined and names[-1] == "embedding":
         return P("model", None)
     if names[-1] == "kernel":
         if "mlp_fc1" in joined or "adaLN" in joined:
-            return P(None, "model")
+            return spec_at(0)  # column (output) shard
         if "mlp_fc2" in joined:
-            return P("model", None)
+            return spec_at(1)  # row (input) shard
     if names[-1] == "bias":
         if "mlp_fc1" in joined or "adaLN" in joined:
-            return P("model")
+            return spec_at(0)
     return P()
 
 

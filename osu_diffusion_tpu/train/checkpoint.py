@@ -12,10 +12,12 @@ Key mapping (torch state_dict -> flax param tree):
     xoc_embedder.playfield_size             -> validated constant (512, 384)
     t_embedder.mlp.{0,2}.{weight,bias}      -> t_embedder.{fc1,fc2}
     y_embedder.embedding_table.weight       -> y_embedder.embedding_table.embedding
-    blocks.N.attn.in_proj_{weight,bias}     -> blocks_N.attn.qkv_{kernel^T,bias}
-    blocks.N.attn.out_proj.{weight,bias}    -> blocks_N.attn.out_{kernel^T,bias}
-    blocks.N.mlp.fc{1,2}.{weight,bias}      -> blocks_N.mlp_fc{1,2}
-    blocks.N.adaLN_modulation.1.{weight,bias} -> blocks_N.adaLN
+    blocks.N.attn.in_proj_{weight,bias}     -> blocks.attn.qkv_{kernel^T,bias}[N]
+    blocks.N.attn.out_proj.{weight,bias}    -> blocks.attn.out_{kernel^T,bias}[N]
+    blocks.N.mlp.fc{1,2}.{weight,bias}      -> blocks.mlp_fc{1,2}[N]
+    blocks.N.adaLN_modulation.1.{weight,bias} -> blocks.adaLN[N]
+(stacked along a leading depth axis — the nn.scan layout; pass
+scan_blocks=False for the unrolled blocks_N scopes)
     final_layer.linear / .adaLN_modulation.1  -> final_layer.{linear,adaLN}
 (torch Linear weights are (out, in); flax kernels are (in, out) — transposed.)
 """
@@ -32,8 +34,14 @@ def _t(w) -> np.ndarray:
     return np.ascontiguousarray(np.asarray(w).T)
 
 
-def torch_state_dict_to_params(state_dict: dict[str, Any]) -> dict:
-    """Torch DiT state_dict (tensors or numpy arrays) -> flax params dict."""
+def torch_state_dict_to_params(
+    state_dict: dict[str, Any], scan_blocks: bool = False
+) -> dict:
+    """Torch DiT state_dict (tensors or numpy arrays) -> flax params dict.
+
+    scan_blocks=True stacks the per-block tensors along a leading depth axis
+    under a single "blocks" scope (the nn.scan layout); the default False
+    emits the unrolled blocks_{i} scopes (the model default)."""
     sd = {k: np.asarray(v) for k, v in _detach_numpy(state_dict).items()}
     params: dict[str, Any] = {}
 
@@ -64,9 +72,10 @@ def torch_state_dict_to_params(state_dict: dict[str, Any]) -> dict:
     depth = 0
     while f"blocks.{depth}.adaLN_modulation.1.weight" in sd:
         depth += 1
+    per_block = []
     for i in range(depth):
         p = f"blocks.{i}."
-        params[f"blocks_{i}"] = {
+        per_block.append({
             "attn": {
                 "qkv_kernel": _t(sd[p + "attn.in_proj_weight"]),
                 "qkv_bias": sd[p + "attn.in_proj_bias"],
@@ -79,7 +88,15 @@ def torch_state_dict_to_params(state_dict: dict[str, Any]) -> dict:
                         "bias": sd[p + "mlp.fc2.bias"]},
             "adaLN": {"kernel": _t(sd[p + "adaLN_modulation.1.weight"]),
                       "bias": sd[p + "adaLN_modulation.1.bias"]},
-        }
+        })
+    if scan_blocks:
+        # stacked (depth, ...) leaves under one "blocks" scope (nn.scan layout)
+        import jax
+
+        params["blocks"] = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *per_block)
+    else:
+        for i, b in enumerate(per_block):
+            params[f"blocks_{i}"] = b
     params["final_layer"] = {
         "adaLN": {"kernel": _t(sd["final_layer.adaLN_modulation.1.weight"]),
                   "bias": sd["final_layer.adaLN_modulation.1.bias"]},
@@ -111,9 +128,8 @@ def params_to_torch_state_dict(
     if num_label_rows is not None:
         table = table[:num_label_rows]
     sd["y_embedder.embedding_table.weight"] = table
-    i = 0
-    while f"blocks_{i}" in p:
-        b = p[f"blocks_{i}"]
+
+    def _emit_block(i: int, b: dict) -> None:
         q = f"blocks.{i}."
         sd[q + "attn.in_proj_weight"] = _t(b["attn"]["qkv_kernel"])
         sd[q + "attn.in_proj_bias"] = np.asarray(b["attn"]["qkv_bias"])
@@ -125,7 +141,19 @@ def params_to_torch_state_dict(
         sd[q + "mlp.fc2.bias"] = np.asarray(b["mlp_fc2"]["bias"])
         sd[q + "adaLN_modulation.1.weight"] = _t(b["adaLN"]["kernel"])
         sd[q + "adaLN_modulation.1.bias"] = np.asarray(b["adaLN"]["bias"])
-        i += 1
+
+    if "blocks" in p:
+        stacked = p["blocks"]
+        depth = np.asarray(stacked["adaLN"]["kernel"]).shape[0]
+        import jax
+
+        for i in range(depth):
+            _emit_block(i, jax.tree.map(lambda a: np.asarray(a)[i], stacked))
+    else:
+        i = 0
+        while f"blocks_{i}" in p:
+            _emit_block(i, p[f"blocks_{i}"])
+            i += 1
     sd["final_layer.adaLN_modulation.1.weight"] = _t(p["final_layer"]["adaLN"]["kernel"])
     sd["final_layer.adaLN_modulation.1.bias"] = np.asarray(p["final_layer"]["adaLN"]["bias"])
     sd["final_layer.linear.weight"] = _t(p["final_layer"]["linear"]["kernel"])
@@ -133,7 +161,9 @@ def params_to_torch_state_dict(
     return sd
 
 
-def load_torch_checkpoint(ckpt_path: str, prefer_ema: bool = True) -> dict:
+def load_torch_checkpoint(
+    ckpt_path: str, prefer_ema: bool = True, scan_blocks: bool = False
+) -> dict:
     """Load a reference `.pt` checkpoint into a flax params tree.
 
     Parity with sample.py:31-36: train checkpoints carry {"model","ema",...}
@@ -149,7 +179,7 @@ def load_torch_checkpoint(ckpt_path: str, prefer_ema: bool = True) -> dict:
         checkpoint = checkpoint["ema"]
     elif isinstance(checkpoint, dict) and "model" in checkpoint and not prefer_ema:
         checkpoint = checkpoint["model"]
-    return torch_state_dict_to_params(checkpoint)
+    return torch_state_dict_to_params(checkpoint, scan_blocks=scan_blocks)
 
 
 def restore_params_any(ckpt_path: str, model) -> dict:
@@ -157,7 +187,8 @@ def restore_params_any(ckpt_path: str, model) -> dict:
     orbax checkpoint directory saved by save_train_state. EMA weights are
     preferred in both cases (parity: sample.py:34-35)."""
     if os.path.isfile(ckpt_path):
-        return load_torch_checkpoint(ckpt_path, prefer_ema=True)
+        scan = bool(model is not None and model.config.scan_blocks)
+        return load_torch_checkpoint(ckpt_path, prefer_ema=True, scan_blocks=scan)
     import jax
     import jax.numpy as jnp
     import orbax.checkpoint as ocp

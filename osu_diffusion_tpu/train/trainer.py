@@ -76,6 +76,7 @@ class TrainConfig:
     profile_dir: str | None = None  # write a jax.profiler trace of early steps
     profile_steps: int = 3  # device dispatches to capture
     multihost: bool = False  # call jax.distributed.initialize() (DCN across hosts)
+    scan_blocks: bool = False  # nn.scan over depth: 4.4x faster compiles, ~10% runtime cost
 
 
 def _embed_mask(params, trainable_embed_only: bool):
@@ -129,6 +130,7 @@ def train(config: TrainConfig) -> dict:
         num_classes=config.num_classes,
         context_size=CONTEXT_SIZE,
         class_dropout_prob=config.class_dropout_prob,
+        scan_blocks=config.scan_blocks,
     )
     diffusion = create_diffusion(
         timestep_respacing="",
