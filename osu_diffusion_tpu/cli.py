@@ -68,6 +68,9 @@ def build_sample_parser() -> argparse.ArgumentParser:
     _bool_flag(parser, "use-pallas", True)
     _bool_flag(parser, "augment-flip", False)
     _bool_flag(parser, "scan-blocks", False)
+    # accepted for reference flag parity (sample.py:224); TPU sampling runs
+    # fp32 activations with bf16 MXU passes regardless
+    _bool_flag(parser, "use-amp", True)
     parser.add_argument("--sampling-method", type=str, default="ancestral",
                         choices=["ancestral", "ddim"])
     return parser
@@ -279,6 +282,14 @@ def build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fine-tune-ids", type=str, default=None,
                         help="accepted for reference flag parity (train.py:330); "
                              "the reference never uses it either")
+    parser.add_argument("--dist", type=str, default=None,
+                        help="accepted for reference flag parity (train.py:329); "
+                             "JAX needs no process-group backend — the mesh "
+                             "replaces nccl/gloo")
+    parser.add_argument("--use-amp", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="reference alias for --use-bf16 (fp16+scaler has "
+                             "no TPU equivalent; bf16 needs no loss scaling)")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--steps-per-call", type=int, default=d.steps_per_call)
     parser.add_argument("--profile-dir", type=str, default=None)
@@ -294,6 +305,7 @@ def build_train_parser() -> argparse.ArgumentParser:
 def train_main(args) -> dict:
     from osu_diffusion_tpu.train.trainer import TrainConfig, train
 
+    use_bf16 = args.use_bf16 if args.use_amp is None else args.use_amp
     config = TrainConfig(
         data_path=args.data_path,
         num_classes=args.num_classes,
@@ -316,7 +328,7 @@ def train_main(args) -> dict:
         relearn_embeds=args.relearn_embeds,
         embed_only_epochs=args.embed_only_epochs,
         num_model=args.num_model,
-        use_bf16=args.use_bf16,
+        use_bf16=use_bf16,
         use_pallas=args.use_pallas,
         max_steps=args.max_steps,
         steps_per_call=args.steps_per_call,
