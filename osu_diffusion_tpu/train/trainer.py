@@ -292,16 +292,34 @@ def train(config: TrainConfig) -> dict:
     b_shard_multi = NamedSharding(mesh, P(None, "data")) if use_mesh else None
 
     with (mesh if use_mesh else contextlib.nullcontext()):
+        # the microbatch buffer persists ACROSS epochs so the k-step scan fills
+        # even when one epoch yields fewer than k batches (tiny datasets)
+        buf: list = []
+
+        def _flush_singles(active_single):
+            nonlocal state
+            for win, prev_xy, y in buf:
+                if stop:
+                    break
+                batch = (jnp.asarray(win), jnp.asarray(prev_xy), jnp.asarray(y))
+                if use_mesh:
+                    batch = jax.device_put(batch, b_shard)
+                state, metrics = active_single(state, batch, rng)
+                _after_steps(1, metrics)
+            buf.clear()
+
         for epoch in range(config.epochs):
             if stop:
                 break
             logger.info(f"Beginning epoch {epoch}...")
             if embed_only and epoch == config.embed_only_epochs:
+                # flush before the freeze boundary so one scan never mixes
+                # frozen and unfrozen steps
+                _flush_singles(step_fn_embed_only)
                 logger.info("Un-freezing non-embedding layers")
                 embed_only = False
             active_single = step_fn_embed_only if embed_only else step_fn
             active_multi = multi_fn_embed_only if embed_only else multi_fn
-            buf: list = []
             for (win, prev_xy), y in loader:
                 buf.append((win, prev_xy, y))
                 if len(buf) == k:
@@ -317,15 +335,9 @@ def train(config: TrainConfig) -> dict:
                     _after_steps(k, metrics)
                     if stop:
                         break
-            # flush the epoch-tail remainder through the single step
-            for win, prev_xy, y in buf:
-                if stop:
-                    break
-                batch = (jnp.asarray(win), jnp.asarray(prev_xy), jnp.asarray(y))
-                if use_mesh:
-                    batch = jax.device_put(batch, b_shard)
-                state, metrics = active_single(state, batch, rng)
-                _after_steps(1, metrics)
+        # final remainder through the single step
+        active_single = step_fn_embed_only if embed_only else step_fn
+        _flush_singles(active_single)
 
     logger.info("Done!")
     return {
