@@ -20,6 +20,9 @@ BASELINE_STEPS_PER_SEC = 2.09  # reference torch CPU, BASELINE.md (measured)
 
 
 def main() -> None:
+    from osu_diffusion_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from osu_diffusion_tpu import CONTEXT_SIZE
     from osu_diffusion_tpu.diffusion import create_diffusion
     from osu_diffusion_tpu.models import DiT_models
