@@ -207,12 +207,24 @@ def sample_main(args) -> list[str]:
             params = restore_params_any(args.refine_ckpt, model)
             img = samples
             t0 = jnp.zeros((img.shape[0],), jnp.int32)
+            # the refine pass keeps the banded attention of the main sampling
+            # path (the reference reuses model_kwargs incl. attn_mask,
+            # sample.py:193-205); samples are unpadded here so no valid_len
+            from osu_diffusion_tpu.ops.attention import banded_attention_mask
+
+            refine_mask = (
+                None if args.use_pallas
+                else banded_attention_mask(img.shape[1], args.seq_len)
+            )
             for i in range(args.refine_iters):
                 sample_rng, step_rng = jax.random.split(sample_rng)
                 def model_fn(x, t, **kw):
                     return model.apply(
                         {"params": params}, x, t, o, c, y,
                         cfg_scale=args.cfg_scale,
+                        attn_mask=refine_mask,
+                        band=args.seq_len if args.use_pallas else None,
+                        use_pallas=args.use_pallas,
                         method=type(model).forward_with_cfg,
                     )
                 out = diffusion.p_sample(

@@ -138,6 +138,7 @@ class SelfAttention(nn.Module):
         mask: jnp.ndarray | None,
         band: int | None,
         use_pallas: bool,
+        valid_len: int | None = None,
     ) -> jnp.ndarray:
         d = self.hidden_size
         qkv_kernel = self.param("qkv_kernel", xavier, (d, 3 * d))
@@ -146,7 +147,8 @@ class SelfAttention(nn.Module):
         out_bias = self.param("out_bias", zeros, (d,))
         return multi_head_attention(
             x, qkv_kernel, qkv_bias, out_kernel, out_bias,
-            num_heads=self.num_heads, mask=mask, band=band, use_pallas=use_pallas,
+            num_heads=self.num_heads, mask=mask, band=band,
+            use_pallas=use_pallas, valid_len=valid_len,
         )
 
 
@@ -188,6 +190,7 @@ class DiTBlock(nn.Module):
         mask: jnp.ndarray | None = None,
         band: int | None = None,
         use_pallas: bool = False,
+        valid_len: int | None = None,
     ) -> jnp.ndarray:
         mod = nn.Dense(
             6 * self.hidden_size, kernel_init=zeros, bias_init=zeros, name="adaLN"
@@ -200,7 +203,7 @@ class DiTBlock(nn.Module):
         )
         h = modulate(ln("norm1")(x), shift_msa, scale_msa)
         attn = SelfAttention(self.hidden_size, self.num_heads, name="attn")(
-            h, mask, band, use_pallas
+            h, mask, band, use_pallas, valid_len
         )
         x = x + gate_msa[:, None, :] * attn
 
@@ -297,6 +300,7 @@ class DiT(nn.Module):
         attn_mask: jnp.ndarray | None = None,
         band: int | None = None,
         use_pallas: bool = False,
+        valid_len: int | None = None,
         force_drop_ids: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         cfg = self.config
@@ -311,7 +315,7 @@ class DiT(nn.Module):
         # remat applies in training only — inference never differentiates, so
         # it would just slow tracing there.
         def block_call(mdl, h, cv, m):
-            return mdl(h, cv, m, band, use_pallas)
+            return mdl(h, cv, m, band, use_pallas, valid_len)
 
         use_remat = cfg.remat and train
 
@@ -357,6 +361,7 @@ class DiT(nn.Module):
         attn_mask: jnp.ndarray | None = None,
         band: int | None = None,
         use_pallas: bool = False,
+        valid_len: int | None = None,
     ) -> jnp.ndarray:
         """Classifier-free-guidance batched forward. Parity: models.py:327-343.
 
@@ -370,6 +375,7 @@ class DiT(nn.Module):
         model_out = self.__call__(
             combined, t, o, c, y, train=False,
             attn_mask=attn_mask, band=band, use_pallas=use_pallas,
+            valid_len=valid_len,
         )
         eps, rest = (
             model_out[..., : cfg.in_channels],

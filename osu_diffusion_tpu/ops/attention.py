@@ -58,6 +58,7 @@ def multi_head_attention(
     mask: jnp.ndarray | None = None,
     band: int | None = None,
     use_pallas: bool = False,
+    valid_len: int | None = None,
 ) -> jnp.ndarray:
     """Self-attention over x (N, T, D) with packed qkv projection.
 
@@ -66,6 +67,9 @@ def multi_head_attention(
 
     If `band` is given and `use_pallas`, dispatch to the fused block-local Pallas
     kernel (TPU); otherwise apply the dense mask through XLA.
+
+    `valid_len`: real (unpadded) sequence length when T was pre-padded (e.g. by
+    the Sampler's length bucketing); keys at index >= valid_len are masked out.
     """
     n, t, d = x.shape
     dh = d // num_heads
@@ -80,10 +84,13 @@ def multi_head_attention(
     if use_pallas and band is not None:
         from osu_diffusion_tpu.ops.pallas_attention import banded_flash_attention
 
-        o = banded_flash_attention(q, k, v, band)
+        o = banded_flash_attention(q, k, v, band, t_real=valid_len)
     else:
         if mask is None and band is not None:
             mask = banded_attention_mask(t, band)
+        if valid_len is not None and valid_len != t:
+            key_valid = jnp.arange(t)[None, :] < valid_len
+            mask = key_valid if mask is None else mask & key_valid
         o = dot_product_attention(q, k, v, mask)
 
     o = o.transpose(0, 2, 1, 3).reshape(n, t, d)

@@ -88,8 +88,13 @@ def _banded_attn_kernel(
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _banded_flash_fwd_impl(q, k, v, band: int, block: int, matmul_dtype) -> jnp.ndarray:
+def _banded_flash_fwd_impl(
+    q, k, v, band: int, block: int, matmul_dtype, t_real: int | None = None
+) -> jnp.ndarray:
     n, h, t, dh = q.shape
+    # callers that pre-pad T (e.g. Sampler length bucketing) pass the unpadded
+    # length so real queries near the pad boundary don't attend garbage keys
+    t_valid = t if t_real is None else int(t_real)
     t_pad = _cdiv(t, block) * block
     pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
     qp = jnp.pad(q, pad).reshape(n * h, t_pad, dh)
@@ -100,8 +105,8 @@ def _banded_flash_fwd_impl(q, k, v, band: int, block: int, matmul_dtype) -> jnp.
     grid = (n * h, t_pad // block)
     out = pl.pallas_call(
         functools.partial(
-            _banded_attn_kernel, band=band, block=block, t_real=t, scale=scale,
-            matmul_dtype=matmul_dtype,
+            _banded_attn_kernel, band=band, block=block, t_real=t_valid,
+            scale=scale, matmul_dtype=matmul_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct((n * h, t_pad, dh), q.dtype),
         grid=grid,
@@ -117,29 +122,39 @@ def _banded_flash_fwd_impl(q, k, v, band: int, block: int, matmul_dtype) -> jnp.
     return out.reshape(n, h, t_pad, dh)[:, :, :t, :]
 
 
-def _xla_banded_attention(q, k, v, band: int) -> jnp.ndarray:
+def _xla_banded_attention(q, k, v, band: int, t_real: int | None = None) -> jnp.ndarray:
     """Dense-mask reference path (differentiable)."""
     from osu_diffusion_tpu.ops.attention import banded_attention_mask, dot_product_attention
 
-    return dot_product_attention(q, k, v, banded_attention_mask(q.shape[2], band))
+    t = q.shape[2]
+    mask = banded_attention_mask(t, band)
+    if t_real is not None and t_real != t:
+        mask = mask & (jnp.arange(t)[None, :] < t_real)
+    return dot_product_attention(q, k, v, mask)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def banded_flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     band: int, block: int = DEFAULT_BLOCK, matmul_dtype=jnp.bfloat16,
+    t_real: int | None = None,
 ) -> jnp.ndarray:
-    """q,k,v: (N, H, T, Dh) -> (N, H, T, Dh), band half-width L (static)."""
-    return _banded_flash_fwd_impl(q, k, v, band, block, matmul_dtype)
+    """q,k,v: (N, H, T, Dh) -> (N, H, T, Dh), band half-width L (static).
+
+    `t_real`: the real (unpadded) sequence length when the caller already
+    padded T — keys at index >= t_real are masked out."""
+    return _banded_flash_fwd_impl(q, k, v, band, block, matmul_dtype, t_real)
 
 
-def _fwd(q, k, v, band, block, matmul_dtype):
-    return _banded_flash_fwd_impl(q, k, v, band, block, matmul_dtype), (q, k, v)
+def _fwd(q, k, v, band, block, matmul_dtype, t_real):
+    return _banded_flash_fwd_impl(q, k, v, band, block, matmul_dtype, t_real), (q, k, v)
 
 
-def _bwd(band, block, matmul_dtype, res, g):
+def _bwd(band, block, matmul_dtype, t_real, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _xla_banded_attention(a, b, c, band), q, k, v)
+    _, vjp = jax.vjp(
+        lambda a, b, c: _xla_banded_attention(a, b, c, band, t_real), q, k, v
+    )
     return vjp(g)
 
 

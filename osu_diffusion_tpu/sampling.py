@@ -67,75 +67,40 @@ class Sampler:
         self.method = method
         self._cache: dict[tuple, Callable] = {}
 
-    # -- compiled program per (N, T_pad, T_real, inpaint) --------------------
+    # -- compiled program per (N, T_pad, T_real, inpaint, use_cfg) -----------
 
-    def _build(self, n: int, t_pad: int, t_real: int, inpaint: bool) -> Callable:
+    def _build(
+        self, n: int, t_pad: int, t_real: int, inpaint: bool, use_cfg: bool
+    ) -> Callable:
+        """use_cfg=False is the plain-forward variant (used by the toy evals
+        which sample with the null class and no guidance, test_toy.py:65-74)."""
         band = self.band
         use_pallas = self.use_pallas and band is not None
+        # real (unpadded) length: the Pallas kernel masks padded keys itself;
+        # the XLA path folds the key-validity into the dense mask
+        valid_len = t_real if t_pad != t_real else None
         mask = None
         if not use_pallas:
             if band is not None:
                 mask = banded_attention_mask(t_pad, band)
             else:
                 mask = jnp.ones((t_pad, t_pad), dtype=bool)
-            if t_pad != t_real:
-                mask = mask & (jnp.arange(t_pad)[None, :] < t_real)
+            if valid_len is not None:
+                mask = mask & (jnp.arange(t_pad)[None, :] < valid_len)
 
         def sample(params, z, o, c, y, rng, known_x, known_mask):
             def model_fn(x, t, **kw):
-                return self.model.apply(
-                    {"params": params},
-                    x, t, o, c, y,
-                    cfg_scale=self.cfg_scale,
+                kwargs = dict(
                     attn_mask=mask,
                     band=band if use_pallas else None,
                     use_pallas=use_pallas,
-                    method=DiT.forward_with_cfg,
+                    valid_len=valid_len,
                 )
-
-            denoised_fn = None
-            if inpaint:
-                denoised_fn = lambda x0: jnp.where(known_mask, x0, known_x)
-
-            loop = (
-                self.diffusion.ddim_sample_loop
-                if self.method == "ddim"
-                else self.diffusion.p_sample_loop
-            )
-            return loop(
-                model_fn,
-                z.shape,
-                rng,
-                noise=z,
-                clip_denoised=self.clip_denoised,
-                denoised_fn=denoised_fn,
-            )
-
-        return jax.jit(sample)
-
-    def _build_plain(self, n: int, t_pad: int, t_real: int, inpaint: bool) -> Callable:
-        """No-CFG variant (plain forward, used by the toy evals which sample
-        with the null class and no guidance, test_toy.py:65-74)."""
-        band = self.band
-        use_pallas = self.use_pallas and band is not None
-        mask = None
-        if not use_pallas:
-            if band is not None:
-                mask = banded_attention_mask(t_pad, band)
-            else:
-                mask = jnp.ones((t_pad, t_pad), dtype=bool)
-            if t_pad != t_real:
-                mask = mask & (jnp.arange(t_pad)[None, :] < t_real)
-
-        def sample(params, z, o, c, y, rng, known_x, known_mask):
-            def model_fn(x, t, **kw):
-                return self.model.apply(
-                    {"params": params},
-                    x, t, o, c, y,
-                    attn_mask=mask,
-                    band=band if use_pallas else None,
-                    use_pallas=use_pallas,
-                )
+                if use_cfg:
+                    kwargs.update(
+                        cfg_scale=self.cfg_scale, method=DiT.forward_with_cfg
+                    )
+                return self.model.apply({"params": params}, x, t, o, c, y, **kwargs)
 
             denoised_fn = None
             if inpaint:
@@ -178,8 +143,7 @@ class Sampler:
         inpaint = known_x is not None
         key = (n, t_pad, t_real, inpaint, use_cfg)
         if key not in self._cache:
-            builder = self._build if use_cfg else self._build_plain
-            self._cache[key] = builder(n, t_pad, t_real, inpaint)
+            self._cache[key] = self._build(n, t_pad, t_real, inpaint, use_cfg)
         fn = self._cache[key]
 
         zp = _pad_time(z, t_pad)

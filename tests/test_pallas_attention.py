@@ -57,6 +57,72 @@ def test_band_asymmetry_exact():
     assert not np.allclose(np.asarray(got), np.asarray(want_sym), atol=1e-4)
 
 
+def test_kernel_t_real_masks_padded_keys():
+    """When the caller pre-pads T (Sampler length bucketing), t_real must stop
+    real queries near the pad boundary from attending garbage padded keys."""
+    t, t_pad, band, block = 150, 256, 48, 64
+    q, k, v = _qkv(t=t, h=1, dh=16, seed=1)
+    # garbage (not zeros) in the padded tail — a strong check
+    pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+    g = jax.random.normal(jax.random.PRNGKey(9), (1, 1, t_pad - t, 16)) * 50
+    qp = jnp.concatenate([q, g], axis=2)
+    kp = jnp.concatenate([k, g], axis=2)
+    vp = jnp.concatenate([v, g], axis=2)
+    got = pa.banded_flash_attention(qp, kp, vp, band, block, jnp.float32, t_real=t)
+    want = dot_product_attention(q, k, v, banded_attention_mask(t, band))
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, :t, :], np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_sampler_pallas_matches_xla_at_ragged_length():
+    """End-to-end regression: Sampler(use_pallas=True) at a length that is not
+    a bucket multiple must agree with the XLA dense-mask path (the bucketing
+    pad previously leaked garbage keys into the band near the sequence tail)."""
+    from osu_diffusion_tpu.diffusion import create_diffusion
+    from osu_diffusion_tpu.models.dit import DiT, DiTConfig
+    from osu_diffusion_tpu.sampling import Sampler
+
+    ctx = 144
+    model = DiT(DiTConfig(
+        hidden_size=32, depth=1, num_heads=2, num_classes=7,
+        context_size=ctx, class_dropout_prob=0.1,
+    ))
+    t = 150  # pads to 256 with the default 128 bucket
+    y = jnp.asarray([3, 7], jnp.int32)  # [cond | null]
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 8, 2)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, 8)), jnp.zeros((2, 8, ctx)), jnp.zeros((2,), jnp.int32),
+    )["params"]
+    # adaLN-Zero init gates attention to zero; jitter all params so the
+    # attention path actually contributes to the output
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [l + jax.random.normal(k, l.shape) * 0.05 for l, k in zip(leaves, keys)],
+    )
+
+    diffusion = create_diffusion("2")
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, t, 2))
+    o = jnp.cumsum(jnp.ones((2, t)), axis=1) * 100
+    c = jax.random.uniform(jax.random.PRNGKey(2), (2, t, ctx))
+    band = 128
+
+    out_xla = Sampler(model, diffusion, cfg_scale=2.0, band=band, use_pallas=False)(
+        params, z, o, c, y, jax.random.PRNGKey(3)
+    )
+    out_pallas = Sampler(model, diffusion, cfg_scale=2.0, band=band, use_pallas=True)(
+        params, z, o, c, y, jax.random.PRNGKey(3)
+    )
+    # fp accumulation-order differences between the flash and dense softmax
+    # amplify through the denoise chain to ~1e-2 on a few clamp-boundary
+    # elements; the padding-leak bug this guards against produced ~0.4 diffs
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_xla), rtol=1e-3, atol=2e-2
+    )
+
+
 def test_gradients_flow():
     q, k, v = _qkv(t=64, dh=16)
 
