@@ -212,13 +212,31 @@ def restore_params_any(ckpt_path: str, model) -> dict:
                 return ckptr.restore(
                     os.path.abspath(ckpt_path), {"ema_params": abstract}
                 )["ema_params"]
-            except Exception:
-                pass
+            except (ValueError, KeyError, TypeError) as e:
+                # expected when the checkpoint tree doesn't match the target
+                # (e.g. a full train state vs. bare params); fall back to an
+                # untyped restore but validate the result below — a silent
+                # wrong-layout tree must not escape (e.g. scan_blocks model
+                # vs unrolled checkpoint)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "targeted orbax restore failed (%s); trying untyped restore", e
+                )
         restored = ckptr.restore(os.path.abspath(ckpt_path))
     if "ema_params" in restored:
-        return restored["ema_params"]
-    if "params" in restored:
-        return restored["params"]
+        restored = restored["ema_params"]
+    elif "params" in restored:
+        restored = restored["params"]
+    if model is not None:
+        got = jax.tree_util.tree_structure(restored)
+        want = jax.tree_util.tree_structure(abstract)
+        if got != want:
+            raise ValueError(
+                f"checkpoint at {ckpt_path} does not match the model's param "
+                f"layout (scan_blocks={model.config.scan_blocks}); "
+                f"restored structure {got} != expected {want}"
+            )
     return restored
 
 

@@ -102,17 +102,26 @@ def train(config: TrainConfig) -> dict:
     num_processes = jax.process_count()
     rank0 = process_index == 0
 
-    # experiment folder (parity train.py:119-138)
-    experiment_dir = None
-    checkpoint_dir = None
+    # experiment folder (parity train.py:119-138). The index is chosen on
+    # process 0 and broadcast so EVERY process agrees on the checkpoint path:
+    # orbax saves of sharded arrays require all processes to participate
+    # (each host writes its local shards), so the save below is not rank0-gated.
     if rank0:
         os.makedirs(config.results_dir, exist_ok=True)
         experiment_index = len(glob(f"{config.results_dir}/*"))
-        model_string_name = config.model.replace("/", "-")
-        experiment_dir = f"{config.results_dir}/{experiment_index:03d}-{model_string_name}"
-        checkpoint_dir = f"{experiment_dir}/checkpoints"
-        os.makedirs(checkpoint_dir, exist_ok=True)
-    logger = create_logger(experiment_dir, 0 if rank0 else 1)
+    else:
+        experiment_index = 0
+    if num_processes > 1:
+        from jax.experimental import multihost_utils
+
+        experiment_index = int(
+            multihost_utils.broadcast_one_to_all(np.int32(experiment_index))
+        )
+    model_string_name = config.model.replace("/", "-")
+    experiment_dir = f"{config.results_dir}/{experiment_index:03d}-{model_string_name}"
+    checkpoint_dir = f"{experiment_dir}/checkpoints"
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    logger = create_logger(experiment_dir if rank0 else None, 0 if rank0 else 1)
     if rank0:
         logger.info(f"Experiment directory created at {experiment_dir}")
 
@@ -271,9 +280,11 @@ def train(config: TrainConfig) -> dict:
         if (
             train_steps % config.ckpt_every < n_steps
             and train_steps >= config.ckpt_every
-            and rank0
-            and checkpoint_dir is not None
         ):
+            # ALL processes call the save: orbax writes each host's local
+            # shards and rank 0 finalizes — a rank0-only call would deadlock
+            # on sharded arrays (replaces the reference's rank0 torch.save +
+            # dist.barrier, train.py:285-297)
             path = ckpt_lib.save_train_state(checkpoint_dir, state, train_steps)
             logger.info(f"Saved checkpoint to {path}")
         if config.max_steps is not None and train_steps >= config.max_steps:

@@ -102,3 +102,35 @@ def test_playfield_size_validation():
     sd["xoc_embedder.playfield_size"] = np.array([100.0, 100.0], dtype=np.float32)
     with pytest.raises(ValueError, match="playfield_size"):
         ck.torch_state_dict_to_params(sd)
+
+
+def test_orbax_round_trip_sharded_state(tmp_path):
+    """Checkpoint save/restore with mesh-sharded params (the multi-device
+    layout the trainer produces; the save is called by all processes, see
+    trainer._after_steps)."""
+    from osu_diffusion_tpu.parallel import make_mesh, shard_params
+
+    model = DiT(DiTConfig(hidden_size=32, depth=1, num_heads=2, num_classes=6,
+                          context_size=CTX, class_dropout_prob=0.1))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 2)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 4)), jnp.zeros((1, 4, CTX)), jnp.zeros((1,), jnp.int32),
+    )["params"]
+    opt = make_optimizer()
+    mesh = make_mesh(num_model=2)
+    params = shard_params(params, mesh)
+    state = create_train_state(params, opt, mesh)
+    state = state.replace(step=jnp.asarray(11, jnp.int32))
+
+    path = ck.save_train_state(str(tmp_path), state, 11)
+
+    fresh = create_train_state(shard_params(jax.tree.map(jnp.zeros_like, params), mesh), opt, mesh)
+    restored = ck.restore_train_state(path, fresh)
+    assert int(restored.step) == 11
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params, state.params,
+    )
+    # restored arrays keep the abstract state's sharding
+    emb = restored.params["y_embedder"]["embedding_table"]["embedding"]
+    assert emb.sharding.shard_shape(emb.shape)[0] == emb.shape[0] // 2
