@@ -41,6 +41,14 @@ from osu_diffusion_tpu.data.featurize import beatmap_to_sequence
 CENTER = np.array([256.0, 192.0], dtype=np.float32)
 
 
+def _mix_seed(seed: int, epoch: int, sub: int = 0) -> int:
+    """Deterministic per-(epoch, sub-iterator) seed derivation: the reference
+    re-rolls shuffle order and window phases every epoch via unseeded RNG
+    (data_loading.py:257,352-353); we keep that per-epoch diversity but stay
+    reproducible for a given base seed."""
+    return ((seed * 1000003 + epoch) * 1000003 + sub) & 0xFFFFFFFFFFFF
+
+
 def default_seq_func(beatmap_path: str):
     """Raw featurization from a file path: (T, 19) array; returns (seq, T).
 
@@ -116,12 +124,26 @@ class BeatmapDatasetIterable:
                 self.current_idx = int(os.path.basename(beatmap_path)[:6])
             except ValueError:
                 self.current_idx = 0
+            self.index += 1
             # seq_func takes the PATH (not a parsed Beatmap like the reference
             # data_loading.py:253-256) so the native parser can skip Python
             # object construction entirely
-            self.current_seq, self.current_seq_len = self.seq_func(str(beatmap_path))
+            try:
+                self.current_seq, self.current_seq_len = self.seq_func(
+                    str(beatmap_path)
+                )
+            except Exception as e:
+                # a malformed file (parser robustness spec, beatmap/parser.py)
+                # must not kill a loader worker mid-run — skip it loudly
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "skipping unparseable beatmap %s: %s", beatmap_path, e
+                )
+                self.current_seq = None
+                self.current_seq_len = -1
+                continue
             self.seq_index = self.rng.randint(0, self.stride - 1)
-            self.index += 1
         window = self.win_func(
             self.current_seq, self.seq_index, self.seq_index + self.seq_len
         )
@@ -167,9 +189,15 @@ class InterleavingBeatmapDatasetIterable:
 
 
 class BeatmapDatasetIterableFactory:
-    """Parity: data_loading.py:394-411."""
+    """Parity: data_loading.py:394-411.
+
+    `accepts_epoch` marks the extended protocol: BeatmapDataset passes the
+    current epoch and a per-epoch sub-iterator index so window phases re-roll
+    every epoch (deterministically for a fixed seed) and each interleaver
+    sub-iterator draws a distinct phase stream."""
 
     __slots__ = ("seq_len", "stride", "seq_func", "win_func", "seed")
+    accepts_epoch = True
 
     def __init__(
         self,
@@ -185,8 +213,14 @@ class BeatmapDatasetIterableFactory:
         self.win_func = win_func
         self.seed = seed
 
-    def __call__(self, beatmap_files: list[str]) -> BeatmapDatasetIterable:
-        rng = random.Random(self.seed) if self.seed is not None else random.Random()
+    def __call__(
+        self, beatmap_files: list[str], epoch: int = 0, sub: int = 0
+    ) -> BeatmapDatasetIterable:
+        rng = (
+            random.Random(_mix_seed(self.seed, epoch, sub))
+            if self.seed is not None
+            else random.Random()
+        )
         return BeatmapDatasetIterable(
             beatmap_files,
             seq_len=self.seq_len,
@@ -220,6 +254,12 @@ class BeatmapDataset:
         self.shuffle = shuffle
         self.beatmap_files = beatmap_files
         self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch counter (e.g. to replay a specific epoch's stream);
+        __iter__ otherwise advances it automatically."""
+        self.epoch = epoch
 
     def _get_beatmap_files(self) -> list[str]:
         if self.beatmap_files is not None:
@@ -236,15 +276,30 @@ class BeatmapDataset:
         return beatmap_files
 
     def __iter__(self):
+        epoch = self.epoch
+        self.epoch += 1  # each pass re-rolls shuffle order and window phases
         beatmap_files = self._get_beatmap_files()
         if self.shuffle:
-            rng = random.Random(self.seed) if self.seed is not None else random
+            rng = (
+                random.Random(_mix_seed(self.seed, epoch))
+                if self.seed is not None
+                else random
+            )
             rng.shuffle(beatmap_files)
+
+        if getattr(self.iterable_factory, "accepts_epoch", False):
+            sub_counter = iter(range(1 << 30))
+
+            def make_iterable(files):
+                return self.iterable_factory(files, epoch=epoch, sub=next(sub_counter))
+        else:  # plain callables (host-side custom factories) keep working
+            make_iterable = self.iterable_factory
+
         if self.cycle_length > 1:
             return InterleavingBeatmapDatasetIterable(
-                beatmap_files, self.iterable_factory, self.cycle_length
+                beatmap_files, make_iterable, self.cycle_length
             )
-        return self.iterable_factory(beatmap_files)
+        return make_iterable(beatmap_files)
 
 
 # ---------------------------------------------------------------------------
