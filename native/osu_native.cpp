@@ -21,6 +21,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cerrno>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -30,6 +32,15 @@ constexpr int kFeatureSize = 19;
 constexpr double kBezierTolerance = 0.25;
 constexpr int kCatmullDetail = 50;
 constexpr double kCircularArcTolerance = 0.1;
+// Robustness spec — mirrored EXACTLY by the Python parser
+// (osu_diffusion_tpu/beatmap/parser.py module docstring): load-bearing fields
+// are strict (malformed/non-finite/out-of-range value -> reject the FILE);
+// cosmetic fields are tolerant. Bounds shared with the Python side.
+constexpr double kMaxCoord = 65536.0;
+constexpr double kMaxTimeMs = 1e9;
+constexpr double kMaxLength = 1e7;
+constexpr int kMaxBezierSubdivisions = 65536;
+constexpr int kMaxArcPoints = 32768;
 
 struct Vec2 {
   double x = 0, y = 0;
@@ -97,10 +108,12 @@ std::vector<Vec2> ApproximateBezier(const std::vector<Vec2>& control_points) {
   std::vector<Vec2> out;
   if (control_points.empty()) return out;
   std::vector<std::vector<Vec2>> stack{control_points};
+  int pops = 0;  // hard bound, identical LIFO order to the Python flattener
   while (!stack.empty()) {
     std::vector<Vec2> parent = std::move(stack.back());
     stack.pop_back();
-    if (BezierFlatEnough(parent)) {
+    ++pops;
+    if (pops > kMaxBezierSubdivisions || BezierFlatEnough(parent)) {
       BezierEmit(parent, out);
       continue;
     }
@@ -144,6 +157,10 @@ bool NearZero(double v) { return std::abs(v) <= 1e-8 * std::max(1.0, std::abs(v)
 
 std::vector<Vec2> ApproximateCircularArc(const std::vector<Vec2>& cp) {
   const Vec2 a = cp[0], b = cp[1], c = cp[2];
+  if (!std::isfinite(a.x) || !std::isfinite(a.y) || !std::isfinite(b.x) ||
+      !std::isfinite(b.y) || !std::isfinite(c.x) || !std::isfinite(c.y)) {
+    return {};  // degenerate -> bezier fallback (which handles non-finite)
+  }
   const double a_sq = (b - c).dot(b - c);
   const double b_sq = (a - c).dot(a - c);
   const double c_sq = (a - b).dot(a - b);
@@ -167,11 +184,16 @@ std::vector<Vec2> ApproximateCircularArc(const std::vector<Vec2>& cp) {
     direction = -1;
     theta_range = 2 * M_PI - theta_range;
   }
-  int n_points =
-      2 * r <= kCircularArcTolerance
-          ? 2
-          : std::max(2.0, std::ceil(theta_range /
-                                    (2 * std::acos(1 - kCircularArcTolerance / r))));
+  // capped like the Python side: near-collinear points give astronomically
+  // large radii; at the cap the arc is sub-pixel-indistinguishable from a line
+  int n_points = 2;
+  if (2 * r > kCircularArcTolerance) {
+    const double raw = std::ceil(
+        theta_range / (2 * std::acos(1 - kCircularArcTolerance / r)));
+    n_points = !std::isfinite(raw)
+                   ? kMaxArcPoints
+                   : std::max(2, std::min(kMaxArcPoints, (int)raw));
+  }
   std::vector<Vec2> out;
   out.reserve(n_points);
   for (int i = 0; i < n_points; ++i) {
@@ -307,6 +329,51 @@ double ToDouble(const std::string& s, double fallback = 0) {
   }
 }
 
+// strict full-token double, python float() semantics (hex rejected)
+bool StrictDouble(const std::string& raw, double* out) {
+  const std::string s = Strip(raw);
+  if (s.empty() || s.find('x') != std::string::npos ||
+      s.find('X') != std::string::npos) {
+    return false;
+  }
+  try {
+    size_t idx = 0;
+    const double v = std::stod(s, &idx);
+    if (idx != s.size()) return false;
+    *out = v;
+    return true;
+  } catch (...) {
+    return false;
+  }
+}
+
+bool StrictFinite(const std::string& s, double* out) {
+  return StrictDouble(s, out) && std::isfinite(*out);
+}
+
+// strict integer, python int() semantics; saturates instead of rejecting on
+// overflow (python ints are unbounded; downstream range checks handle it)
+bool StrictInt(const std::string& raw, long* out) {
+  const std::string s = Strip(raw);
+  size_t i = 0;
+  if (i < s.size() && (s[i] == '+' || s[i] == '-')) ++i;
+  if (i >= s.size()) return false;
+  for (size_t j = i; j < s.size(); ++j) {
+    if (!std::isdigit(static_cast<unsigned char>(s[j]))) return false;
+  }
+  errno = 0;
+  long v = std::strtol(s.c_str(), nullptr, 10);
+  if (errno == ERANGE) v = (s[0] == '-') ? std::numeric_limits<long>::min()
+                                         : std::numeric_limits<long>::max();
+  *out = v;
+  return true;
+}
+
+bool ParseBoolToken(const std::string& s) {
+  const std::string v = Strip(s);
+  return v == "1" || v == "true" || v == "True";
+}
+
 // latest uninherited timing point with offset <= t (fallback: first uninherited)
 double BeatLengthAt(const std::vector<TimingPoint>& tps, double t) {
   const TimingPoint* candidate = nullptr;
@@ -330,8 +397,8 @@ double SvMultiplierAt(const std::vector<TimingPoint>& tps, double t) {
   return 1.0;
 }
 
-int RepeatType(int repeat) {
-  if (repeat < 4) return repeat - 1;
+int RepeatType(long repeat) {
+  if (repeat < 4) return static_cast<int>(repeat - 1);
   if (repeat % 2 == 0) return 3;
   return 4;
 }
@@ -344,8 +411,8 @@ void AppendRow(std::vector<HitObjectRow>& rows, double time_ms, Vec2 pos,
 // expand one slider into datapoint rows (parity: data_loading.py:65-109)
 void ExpandSlider(std::vector<HitObjectRow>& rows, Vec2 head, double time_ms,
                   bool new_combo, PathType ptype, bool degraded_perfect,
-                  const std::vector<Vec2>& points, int slides, double length,
-                  double span_ms) {
+                  const std::vector<Vec2>& points, long slides, double length,
+                  double span_ms, double end_ms) {
   AppendRow(rows, time_ms, head, new_combo ? 5 : 4);
   const double duration = span_ms;  // one span
   const int n = static_cast<int>(points.size());
@@ -375,8 +442,7 @@ void ExpandSlider(std::vector<HitObjectRow>& rows, Vec2 head, double time_ms,
   const PathType flatten_type = degraded_perfect ? PathType::kBezier : ptype;
   SliderPath path(flatten_type, points, length, /*has_expected=*/true);
   const Vec2 end_pos = path.position_at(1.0);
-  const double end_time = time_ms + span_ms * slides;
-  AppendRow(rows, end_time, end_pos, 11 + RepeatType(slides));
+  AppendRow(rows, end_ms, end_pos, 11 + RepeatType(slides));
 }
 
 bool ParseBuffer(const char* data, size_t len, Parsed& out) {
@@ -399,17 +465,36 @@ bool ParseBuffer(const char* data, size_t len, Parsed& out) {
     }
     if (section == "Difficulty") {
       const size_t colon = stripped.find(':');
-      if (colon != std::string::npos &&
-          Strip(stripped.substr(0, colon)) == "SliderMultiplier") {
-        out.slider_multiplier = ToDouble(Strip(stripped.substr(colon + 1)), 1.4);
+      if (colon != std::string::npos) {
+        const std::string key = Strip(stripped.substr(0, colon));
+        // strict: these scale every slider's duration (robustness spec);
+        // other difficulty keys are cosmetic and ignored here
+        if (key == "SliderMultiplier") {
+          if (!StrictFinite(Strip(stripped.substr(colon + 1)),
+                            &out.slider_multiplier)) {
+            return false;
+          }
+        } else if (key == "SliderTickRate") {
+          double tick_rate;  // unused by featurization; gate parity only
+          if (!StrictFinite(Strip(stripped.substr(colon + 1)), &tick_rate)) {
+            return false;
+          }
+        }
       }
     } else if (section == "TimingPoints") {
       auto parts = Split(stripped, ',');
       if (parts.size() < 2) continue;
       TimingPoint tp;
-      tp.offset_ms = ToDouble(parts[0]);
-      tp.beat_length = ToDouble(parts[1]);
-      tp.uninherited = parts.size() > 6 ? Strip(parts[6]) == "1"
+      // strict: offset/beat_length drive slider timing (robustness spec)
+      if (!StrictFinite(parts[0], &tp.offset_ms) ||
+          std::abs(tp.offset_ms) > kMaxTimeMs) {
+        return false;
+      }
+      if (!StrictFinite(parts[1], &tp.beat_length) ||
+          std::abs(tp.beat_length) > kMaxTimeMs) {
+        return false;
+      }
+      tp.uninherited = parts.size() > 6 ? ParseBoolToken(parts[6])
                                         : tp.beat_length > 0;
       if (tp.uninherited && tp.beat_length <= 0) tp.uninherited = false;
       out.timing_points.push_back(tp);
@@ -421,33 +506,55 @@ bool ParseBuffer(const char* data, size_t len, Parsed& out) {
   for (const std::string& line : hitobject_lines) {
     auto parts = Split(line, ',');
     if (parts.size() < 5) continue;
-    const double x = ToDouble(parts[0]);
-    const double y = ToDouble(parts[1]);
-    const double time_ms = ToDouble(parts[2]);
-    const int type_bits = static_cast<int>(ToDouble(parts[3]));
+    // strict fields -> reject the file on any malformed value, exactly like
+    // the Python parser (robustness spec, file header comment)
+    double x, y, time_ms;
+    long type_long;
+    if (!StrictFinite(parts[0], &x) || std::abs(x) > kMaxCoord) return false;
+    if (!StrictFinite(parts[1], &y) || std::abs(y) > kMaxCoord) return false;
+    if (!StrictFinite(parts[2], &time_ms) || std::abs(time_ms) > kMaxTimeMs)
+      return false;
+    if (!StrictInt(parts[3], &type_long)) return false;
+    const int type_bits = static_cast<int>(type_long);
     const bool new_combo = type_bits & 4;
     const Vec2 head{x, y};
 
     if (type_bits & 1) {  // circle
       AppendRow(out.rows, time_ms, head, new_combo ? 1 : 0);
     } else if (type_bits & 8) {  // spinner
-      const double end_time =
-          parts.size() > 5 ? ToDouble(parts[5], time_ms) : time_ms;
+      double end_time = time_ms;
+      if (parts.size() > 5 &&
+          (!StrictFinite(parts[5], &end_time) ||
+           std::abs(end_time) > kMaxTimeMs)) {
+        return false;
+      }
       AppendRow(out.rows, time_ms, head, 2);
       AppendRow(out.rows, end_time, head, 3);
     } else if (type_bits & 2) {  // slider
-      if (parts.size() < 6) continue;
+      if (parts.size() < 6) return false;  // python: IndexError on parts[5]
       auto curve_parts = Split(parts[5], '|');
       const std::string kind = curve_parts.empty() ? "B" : curve_parts[0];
       std::vector<Vec2> points{head};
       for (size_t i = 1; i < curve_parts.size(); ++i) {
+        if (curve_parts[i].empty()) continue;
         auto xy = Split(curve_parts[i], ':');
-        if (xy.size() == 2)
-          points.push_back({ToDouble(xy[0]), ToDouble(xy[1])});
+        double px, py;
+        if (xy.size() != 2 || !StrictFinite(xy[0], &px) ||
+            std::abs(px) > kMaxCoord || !StrictFinite(xy[1], &py) ||
+            std::abs(py) > kMaxCoord) {
+          return false;
+        }
+        points.push_back({px, py});
       }
-      const int slides =
-          parts.size() > 6 ? std::max(1, (int)ToDouble(parts[6], 1)) : 1;
-      const double length = parts.size() > 7 ? ToDouble(parts[7]) : 0;
+      long slides = 1;
+      if (parts.size() > 6 && !StrictInt(parts[6], &slides)) return false;
+      if (slides < 1) return false;
+      double length = 0;
+      if (parts.size() > 7 &&
+          (!StrictFinite(parts[7], &length) || length < 0 ||
+           length > kMaxLength)) {
+        return false;
+      }
 
       // parity with data_loading.py:66 — very long sliders fall back to a
       // plain circle datapoint
@@ -475,8 +582,10 @@ bool ParseBuffer(const char* data, size_t len, Parsed& out) {
       const double sv = SvMultiplierAt(out.timing_points, time_ms);
       const double velocity = out.slider_multiplier * 100.0 * sv;  // px/beat
       const double span_ms = velocity > 0 ? length / velocity * beat_len : 0;
+      const double end_ms = time_ms + span_ms * (double)slides;
+      if (!std::isfinite(end_ms) || std::abs(end_ms) > kMaxTimeMs) return false;
       ExpandSlider(out.rows, head, time_ms, new_combo, ptype, degraded_perfect,
-                   points, slides, length, span_ms);
+                   points, slides, length, span_ms, end_ms);
     }
   }
   return true;

@@ -23,6 +23,11 @@ import numpy as np
 BEZIER_TOLERANCE = 0.25
 CATMULL_DETAIL = 50
 CIRCULAR_ARC_TOLERANCE = 0.1
+# hard bound on adaptive-subdivision work per span: pathological control
+# points (huge magnitudes from fuzzed files or unclamped model outputs) must
+# terminate, not hang a loader worker. Mirrored by native/osu_native.cpp —
+# both implementations pop the same LIFO order, so outputs stay identical.
+MAX_BEZIER_SUBDIVISIONS = 65536
 
 
 # ---------------------------------------------------------------------------
@@ -31,11 +36,16 @@ CIRCULAR_ARC_TOLERANCE = 0.1
 
 
 def _bezier_flat_enough(cp: np.ndarray) -> bool:
-    # second differences bounded by 4*tol^2 (lazer's flatness criterion)
+    # second differences bounded by 4*tol^2 (lazer's flatness criterion).
+    # NaNs compare False against the threshold and so count as FLAT — this
+    # matches the native kernel's `if (dot > tol) return false` form and
+    # guarantees termination on non-finite inputs.
     if len(cp) < 3:
         return True
     second = cp[:-2] - 2.0 * cp[1:-1] + cp[2:]
-    return bool((np.einsum("ij,ij->i", second, second) <= BEZIER_TOLERANCE**2 * 4).all())
+    return not bool(
+        (np.einsum("ij,ij->i", second, second) > BEZIER_TOLERANCE**2 * 4).any()
+    )
 
 
 def _bezier_subdivide(cp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -71,9 +81,11 @@ def approximate_bezier(control_points: np.ndarray) -> list[np.ndarray]:
         return []
     output: list[np.ndarray] = []
     stack = [cp.copy()]
+    pops = 0
     while stack:
         parent = stack.pop()
-        if _bezier_flat_enough(parent):
+        pops += 1
+        if pops > MAX_BEZIER_SUBDIVISIONS or _bezier_flat_enough(parent):
             _bezier_emit(parent, output)
             continue
         left, right = _bezier_subdivide(parent)
@@ -118,6 +130,8 @@ def approximate_circular_arc(control_points: np.ndarray) -> list[np.ndarray]:
     """Arc through 3 points; empty list signals degenerate -> caller falls back
     to bezier (same contract as lazer / ref slider_path.py:103-111)."""
     a, b, c = (np.asarray(p, dtype=float) for p in control_points[:3])
+    if not (np.isfinite(a).all() and np.isfinite(b).all() and np.isfinite(c).all()):
+        return []  # degenerate -> bezier fallback (which handles non-finite)
     a_sq = float(np.dot(b - c, b - c))
     b_sq = float(np.dot(a - c, a - c))
     c_sq = float(np.dot(a - b, a - b))
@@ -146,9 +160,12 @@ def approximate_circular_arc(control_points: np.ndarray) -> list[np.ndarray]:
     if 2 * r <= CIRCULAR_ARC_TOLERANCE:
         n_points = 2
     else:
-        n_points = max(
-            2, int(np.ceil(theta_range / (2 * np.arccos(1 - CIRCULAR_ARC_TOLERANCE / r))))
-        )
+        # capped: near-collinear points yield astronomically large radii and
+        # the uncapped lazer formula would allocate millions of points; at the
+        # cap the arc is sub-pixel-indistinguishable from a line anyway
+        # (mirrored by native/osu_native.cpp)
+        raw = np.ceil(theta_range / (2 * np.arccos(1 - CIRCULAR_ARC_TOLERANCE / r)))
+        n_points = 32768 if not np.isfinite(raw) else max(2, min(32768, int(raw)))
     fracs = np.arange(n_points) / (n_points - 1)
     thetas = theta_start + direction * fracs * theta_range
     pts = centre + r * np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)

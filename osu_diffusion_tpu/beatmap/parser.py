@@ -10,9 +10,23 @@ Slider end times are derived the same way the game does: one span lasts
     length / (slider_multiplier * 100 * sv_multiplier) * beat_length  ms
 with beat_length from the governing uninherited timing point and sv_multiplier
 from the latest inherited point at the object's time.
+
+Robustness spec (mirrored EXACTLY by the native parser, native/osu_native.cpp —
+the two are interchangeable inside loader workers, so their accept/reject
+decisions and outputs must agree; fuzz-tested in tests/test_parser_fuzz.py):
+- fields that affect featurization (hit-object coordinates/times/types, curve
+  points, slide counts, lengths, timing-point offsets/beat lengths,
+  SliderMultiplier/SliderTickRate) are parsed STRICTLY: a malformed, non-finite
+  or out-of-range value rejects the WHOLE file (ValueError here, nonzero status
+  natively) — a bad line must fail loudly, never silently mis-featurize;
+- cosmetic metadata (Metadata/General/Editor numbers, hitsounds, edge sounds,
+  timing-point meter/volume fields) is parsed TOLERANTLY with defaults;
+- bounds: |coordinate| <= 65536, |time| <= 1e9 ms (~11.6 days; also applied to
+  computed slider end times), 0 <= slider length <= 1e7 px, slides >= 1.
 """
 from __future__ import annotations
 
+import math
 from datetime import timedelta
 from pathlib import Path
 
@@ -33,8 +47,54 @@ _TYPE_SPINNER = 8
 _COMBO_SKIP_SHIFT = 4
 
 
+MAX_COORD = 65536.0
+MAX_TIME_MS = 1e9
+MAX_LENGTH = 1e7
+
+
 def _parse_bool(v: str) -> bool:
     return v.strip() in ("1", "true", "True")
+
+
+def _finite(s: str) -> float:
+    """Strict float: full-token parse, finite value (load-bearing fields)."""
+    v = float(s)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite value: {s!r}")
+    return v
+
+
+def _coord(s: str) -> float:
+    v = _finite(s)
+    if abs(v) > MAX_COORD:
+        raise ValueError(f"coordinate out of range: {s!r}")
+    return v
+
+
+def _time_ms_value(v: float) -> float:
+    if not math.isfinite(v) or abs(v) > MAX_TIME_MS:
+        raise ValueError(f"time out of range: {v!r}")
+    return v
+
+
+def _time_ms(s: str) -> float:
+    return _time_ms_value(_finite(s))
+
+
+def _num_or(s: str | None, default: float) -> float:
+    """Tolerant float for cosmetic fields: junk falls back to the default
+    (matches the native parser, which does not read these fields at all)."""
+    if s is None:
+        return default
+    try:
+        v = float(s)
+    except ValueError:
+        return default
+    return v if math.isfinite(v) else default
+
+
+def _int_or(s: str | None, default: int) -> int:
+    return int(_num_or(s, default))
 
 
 _SAMPLE_SETS = {"0": "None", "1": "Normal", "2": "Soft", "3": "Drum"}
@@ -70,6 +130,7 @@ def _kv(lines: list[str]) -> dict[str, str]:
 def _parse_timing_points(lines: list[str]) -> list[TimingPoint]:
     points: list[TimingPoint] = []
     last_uninherited: TimingPoint | None = None
+    orphan_parent: TimingPoint | None = None
     for line in lines:
         line = line.strip()
         if not line or line.startswith("//"):
@@ -77,12 +138,16 @@ def _parse_timing_points(lines: list[str]) -> list[TimingPoint]:
         parts = line.split(",")
         if len(parts) < 2:
             continue
-        offset = timedelta(milliseconds=float(parts[0]))
-        beat_length = float(parts[1])
-        meter = int(parts[2]) if len(parts) > 2 else 4
-        sample_type = int(parts[3]) if len(parts) > 3 else 0
-        sample_set = int(parts[4]) if len(parts) > 4 else 0
-        volume = int(parts[5]) if len(parts) > 5 else 100
+        # offset/beat_length drive slider timing -> strict; the rest is
+        # cosmetic -> tolerant (robustness spec, module docstring)
+        offset = timedelta(milliseconds=_time_ms(parts[0]))
+        beat_length = _finite(parts[1])
+        if abs(beat_length) > MAX_TIME_MS:
+            raise ValueError(f"beat length out of range: {parts[1]!r}")
+        meter = _int_or(parts[2] if len(parts) > 2 else None, 4)
+        sample_type = _int_or(parts[3] if len(parts) > 3 else None, 0)
+        sample_set = _int_or(parts[4] if len(parts) > 4 else None, 0)
+        volume = _int_or(parts[5] if len(parts) > 5 else None, 100)
         uninherited = _parse_bool(parts[6]) if len(parts) > 6 else beat_length > 0
         kiai = _parse_bool(parts[7]) if len(parts) > 7 else False
         if uninherited and beat_length > 0:
@@ -90,8 +155,19 @@ def _parse_timing_points(lines: list[str]) -> list[TimingPoint]:
                              volume, None, kiai)
             last_uninherited = tp
         else:
+            # an inherited point before any red line must NOT get parent=None
+            # (that marks uninherited throughout the codebase); give it a
+            # synthetic 500ms/beat parent — the same fallback the native
+            # parser's BeatLengthAt uses for red-line-less files
+            parent = last_uninherited
+            if parent is None:
+                if orphan_parent is None:
+                    orphan_parent = TimingPoint(
+                        timedelta(0), 500.0, 4, 0, 0, 100, None, False
+                    )
+                parent = orphan_parent
             tp = TimingPoint(offset, beat_length, meter, sample_type, sample_set,
-                             volume, last_uninherited, kiai)
+                             volume, parent, kiai)
         points.append(tp)
     return points
 
@@ -107,10 +183,10 @@ def _parse_hit_objects(
         parts = line.split(",")
         if len(parts) < 5:
             continue
-        x, y = float(parts[0]), float(parts[1])
-        time = timedelta(milliseconds=float(parts[2]))
+        x, y = _coord(parts[0]), _coord(parts[1])
+        time = timedelta(milliseconds=_time_ms(parts[2]))
         type_bits = int(parts[3])
-        hitsound = int(parts[4])
+        hitsound = _int_or(parts[4], 0)  # cosmetic -> tolerant
         new_combo = bool(type_bits & _TYPE_NEW_COMBO)
         combo_skip = (type_bits >> _COMBO_SKIP_SHIFT) & 0b111
         pos = Position(x, y)
@@ -118,27 +194,41 @@ def _parse_hit_objects(
         if type_bits & _TYPE_CIRCLE:
             objs.append(Circle(pos, time, hitsound, new_combo, combo_skip))
         elif type_bits & _TYPE_SPINNER:
-            end_time = timedelta(milliseconds=float(parts[5])) if len(parts) > 5 else time
+            end_time = (
+                timedelta(milliseconds=_time_ms(parts[5])) if len(parts) > 5 else time
+            )
             objs.append(Spinner(pos, time, hitsound, new_combo, combo_skip, end_time))
         elif type_bits & _TYPE_SLIDER:
             curve_spec = parts[5]
             slides = int(parts[6]) if len(parts) > 6 else 1
-            length = float(parts[7]) if len(parts) > 7 else 0.0
+            if slides < 1:
+                raise ValueError(f"slider slide count must be >= 1: {slides}")
+            length = _finite(parts[7]) if len(parts) > 7 else 0.0
+            if not 0.0 <= length <= MAX_LENGTH:
+                raise ValueError(f"slider length out of range: {length!r}")
             # parts[8]/[9] are edgeSounds/edgeSets only when present; a short
-            # line puts the hitSample (colon-separated) right after length
+            # line puts the hitSample (colon-separated) right after length.
+            # Cosmetic -> tolerant (junk entries dropped).
             edge_sounds = []
             edge_additions = []
             if len(parts) > 8 and parts[8] and ":" not in parts[8]:
-                edge_sounds = [int(s) for s in parts[8].split("|")]
+                try:
+                    edge_sounds = [int(s) for s in parts[8].split("|")]
+                except ValueError:
+                    edge_sounds = []
                 if len(parts) > 9 and parts[9]:
                     edge_additions = parts[9].split("|")
 
             kind, *pt_strs = curve_spec.split("|")
             # the head position is the first control point (the file omits it)
-            points = [pos] + [
-                Position(float(px), float(py))
-                for px, py in (s.split(":") for s in pt_strs if s)
-            ]
+            points = [pos]
+            for s in pt_strs:
+                if not s:
+                    continue
+                xy = s.split(":")
+                if len(xy) != 2:
+                    raise ValueError(f"malformed curve point: {s!r}")
+                points.append(Position(_coord(xy[0]), _coord(xy[1])))
             curve = Curve.from_kind_and_points(kind, points, length)
 
             red = _uninherited_at(beatmap.timing_points, time)
@@ -148,7 +238,10 @@ def _parse_hit_objects(
             velocity = beatmap.slider_multiplier * 100.0 * sv_mult  # px per beat
             span_ms = length / velocity * ms_per_beat if velocity > 0 else 0.0
             num_beats = length / velocity * slides if velocity > 0 else 0.0
-            end_time = time + timedelta(milliseconds=span_ms * slides)
+            end_ms = _time_ms_value(
+                time.total_seconds() * 1000.0 + span_ms * slides
+            )
+            end_time = timedelta(milliseconds=end_ms)
             objs.append(
                 Slider(
                     position=pos,
@@ -213,22 +306,35 @@ def parse_beatmap(text: str) -> Beatmap:
     meta = _kv(sections.get("Metadata", []))
     diff = _kv(sections.get("Difficulty", []))
 
+    def _bookmarks(raw: str) -> list[int]:
+        out = []
+        for b in raw.split(","):
+            if b.strip():
+                try:
+                    out.append(int(b))
+                except ValueError:
+                    pass
+        return out
+
+    # all numeric header fields are cosmetic -> tolerant with defaults
+    # (robustness spec, module docstring), EXCEPT SliderMultiplier and
+    # SliderTickRate below, which drive slider timing
     bm = Beatmap(
         format_version=format_version,
         audio_filename=general.get("AudioFilename", "audio.mp3"),
-        audio_lead_in=int(float(general.get("AudioLeadIn", 0))),
-        preview_time=int(float(general.get("PreviewTime", -1))),
-        countdown=int(float(general.get("Countdown", 0))),
+        audio_lead_in=_int_or(general.get("AudioLeadIn"), 0),
+        preview_time=_int_or(general.get("PreviewTime"), -1),
+        countdown=_int_or(general.get("Countdown"), 0),
         sample_set=general.get("SampleSet", "Normal"),
-        stack_leniency=float(general.get("StackLeniency", 0.7)),
-        mode=int(float(general.get("Mode", 0))),
+        stack_leniency=_num_or(general.get("StackLeniency"), 0.7),
+        mode=_int_or(general.get("Mode"), 0),
         letterbox_in_breaks=_parse_bool(general.get("LetterboxInBreaks", "0")),
         widescreen_storyboard=_parse_bool(general.get("WidescreenStoryboard", "0")),
-        bookmarks=[int(b) for b in editor.get("Bookmarks", "").split(",") if b.strip()],
-        distance_spacing=float(editor.get("DistanceSpacing", 1.0)),
-        beat_divisor=int(float(editor.get("BeatDivisor", 4))),
-        grid_size=int(float(editor.get("GridSize", 4))),
-        timeline_zoom=float(editor.get("TimelineZoom", 1.0)),
+        bookmarks=_bookmarks(editor.get("Bookmarks", "")),
+        distance_spacing=_num_or(editor.get("DistanceSpacing"), 1.0),
+        beat_divisor=_int_or(editor.get("BeatDivisor"), 4),
+        grid_size=_int_or(editor.get("GridSize"), 4),
+        timeline_zoom=_num_or(editor.get("TimelineZoom"), 1.0),
         title=meta.get("Title", ""),
         title_unicode=meta.get("TitleUnicode", meta.get("Title", "")),
         artist=meta.get("Artist", ""),
@@ -237,14 +343,21 @@ def parse_beatmap(text: str) -> Beatmap:
         version=meta.get("Version", ""),
         source=meta.get("Source", ""),
         tags=meta.get("Tags", "").split() if meta.get("Tags") else [],
-        beatmap_id=int(meta.get("BeatmapID", 0)),
-        beatmap_set_id=int(meta.get("BeatmapSetID", -1)),
-        hp_drain_rate=float(diff.get("HPDrainRate", 5.0)),
-        circle_size=float(diff.get("CircleSize", 5.0)),
-        overall_difficulty=float(diff.get("OverallDifficulty", 5.0)),
-        approach_rate=float(diff.get("ApproachRate", diff.get("OverallDifficulty", 5.0))),
-        slider_multiplier=float(diff.get("SliderMultiplier", 1.4)),
-        slider_tick_rate=float(diff.get("SliderTickRate", 1.0)),
+        beatmap_id=_int_or(meta.get("BeatmapID"), 0),
+        beatmap_set_id=_int_or(meta.get("BeatmapSetID"), -1),
+        hp_drain_rate=_num_or(diff.get("HPDrainRate"), 5.0),
+        circle_size=_num_or(diff.get("CircleSize"), 5.0),
+        overall_difficulty=_num_or(diff.get("OverallDifficulty"), 5.0),
+        approach_rate=_num_or(
+            diff.get("ApproachRate"), _num_or(diff.get("OverallDifficulty"), 5.0)
+        ),
+        # strict: these scale every slider's duration (robustness spec)
+        slider_multiplier=(
+            _finite(diff["SliderMultiplier"]) if "SliderMultiplier" in diff else 1.4
+        ),
+        slider_tick_rate=(
+            _finite(diff["SliderTickRate"]) if "SliderTickRate" in diff else 1.0
+        ),
         events=[l for l in sections.get("Events", [])],
     )
     bm.timing_points = _parse_timing_points(sections.get("TimingPoints", []))

@@ -121,8 +121,11 @@ def create_beatmap(seq, ref_beatmap: Beatmap, version: str) -> Beatmap:
                 curr_object.length = req_length
                 curr_object.end_time = time
                 duration = (time - curr_object.time).total_seconds() * 1000.0
+                # clamped to >= 1: degenerate generated timing can round to 0
+                # repeats, which is not a writable slider (parser robustness
+                # spec rejects slides < 1)
                 curr_object.repeat = (
-                    int(round(duration / span_duration))
+                    max(1, int(round(duration / span_duration)))
                     if type_index > 13 and span_duration > 0
                     else type_index - 10
                 )

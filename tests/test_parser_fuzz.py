@@ -1,0 +1,235 @@
+"""Parser robustness fuzzing: mutated/malformed .osu inputs through BOTH the
+Python beatmap parser and the native C++ featurizer.
+
+Real ranked .osu files span format v3-v14 quirks (missing sections, extra
+commas, storyboard junk, huge values); the loaders must never crash on them —
+the Python path may raise a clean Python exception, the native path may return
+a nonzero status (surfaced as RuntimeError), but neither may segfault, hang,
+or silently disagree: on every input BOTH paths accept, the feature rows must
+match (the native parser transparently replaces the Python one inside loader
+workers, so a divergence would silently change training data between machines).
+
+Reference context: the reference leans on the `slider` pip package for this
+tolerance (requirements.txt:4); export-side fuzzing lives in
+tests/test_export_fuzz.py.
+"""
+import glob
+import os
+import random
+import shutil
+
+import numpy as np
+import pytest
+
+from osu_diffusion_tpu.beatmap import Beatmap
+from osu_diffusion_tpu.beatmap.parser import parse_beatmap
+from osu_diffusion_tpu.data.featurize import beatmap_to_sequence
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets", "toy_datasets")
+SEEDS = sorted(glob.glob(os.path.join(ASSETS, "**", "*.osu"), recursive=True))
+
+
+@pytest.fixture(scope="module")
+def native():
+    from osu_diffusion_tpu import native as native_mod
+
+    if not native_mod.available():
+        if shutil.which("g++") is None:
+            pytest.skip("no g++ available to build the native library")
+        from osu_diffusion_tpu.native.build import build
+
+        build(verbose=False)
+        native_mod._LIB_TRIED = False
+        assert native_mod.available()
+    return native_mod
+
+
+# -- mutation operators ------------------------------------------------------
+
+
+def _truncate(text: str, rng) -> str:
+    return text[: rng.randrange(len(text) + 1)]
+
+
+def _drop_lines(text: str, rng) -> str:
+    lines = text.split("\n")
+    keep = [l for l in lines if rng.random() > 0.2]
+    return "\n".join(keep)
+
+
+def _dup_lines(text: str, rng) -> str:
+    lines = text.split("\n")
+    out = []
+    for l in lines:
+        out.append(l)
+        if rng.random() < 0.1:
+            out.append(l)
+    return "\n".join(out)
+
+
+def _junk_lines(text: str, rng) -> str:
+    junk = [
+        "", ",,,,,", "garbage line with no structure", "[NotASection]",
+        "//storyboard comment", "Sprite,Background,Centre,\"bg.png\",320,240",
+        "0,0,\"bg.jpg\",0,0", "﻿BOM line", "key without value:",
+        ":value without key", "a:b:c:d:e", "    ", "\t\t",
+    ]
+    lines = text.split("\n")
+    for _ in range(rng.randrange(1, 8)):
+        lines.insert(rng.randrange(len(lines) + 1), rng.choice(junk))
+    return "\n".join(lines)
+
+
+def _format_version(text: str, rng) -> str:
+    v = rng.choice([3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 128, 0, -1])
+    lines = text.split("\n")
+    if lines and lines[0].startswith("osu file format"):
+        lines[0] = f"osu file format v{v}"
+    else:
+        lines.insert(0, f"osu file format v{v}")
+    return "\n".join(lines)
+
+
+def _mangle_numbers(text: str, rng) -> str:
+    repl = rng.choice(["999999999", "-1", "0", "nan", "inf", "1e308", "3.5.7", ""])
+    lines = text.split("\n")
+    for i, l in enumerate(lines):
+        if "," in l and rng.random() < 0.15:
+            parts = l.split(",")
+            parts[rng.randrange(len(parts))] = repl
+            lines[i] = ",".join(parts)
+    return "\n".join(lines)
+
+
+def _extra_commas(text: str, rng) -> str:
+    lines = text.split("\n")
+    for i, l in enumerate(lines):
+        if "," in l and rng.random() < 0.2:
+            lines[i] = l + "," * rng.randrange(1, 4)
+    return "\n".join(lines)
+
+
+def _drop_section(text: str, rng) -> str:
+    import re
+
+    sections = re.findall(r"\[(\w+)\]", text)
+    if not sections:
+        return text
+    victim = rng.choice(sections)
+    out, skipping = [], False
+    for l in text.split("\n"):
+        if l.strip().startswith("["):
+            skipping = l.strip() == f"[{victim}]"
+        if not skipping:
+            out.append(l)
+    return "\n".join(out)
+
+
+def _huge_repeats(text: str, rng) -> str:
+    # slider lines: x,y,time,type,hitSound,curve,repeats,length
+    lines = text.split("\n")
+    for i, l in enumerate(lines):
+        parts = l.split(",")
+        if len(parts) >= 8 and "|" in l and rng.random() < 0.5:
+            parts[6] = rng.choice(["10000", "-5", "2147483647"])
+            lines[i] = ",".join(parts)
+    return "\n".join(lines)
+
+
+MUTATORS = [
+    _truncate, _drop_lines, _dup_lines, _junk_lines, _format_version,
+    _mangle_numbers, _extra_commas, _drop_section, _huge_repeats,
+]
+
+
+def _mutants(n_per_seed: int = 6):
+    rng = random.Random(0xBEEF)
+    for path in SEEDS:
+        text = open(path, encoding="utf-8").read()
+        for i in range(n_per_seed):
+            m = text
+            for _ in range(rng.randrange(1, 4)):
+                m = rng.choice(MUTATORS)(m, rng)
+            yield f"{os.path.basename(path)}#{i}", m
+
+
+def _python_featurize(text: str):
+    bm = parse_beatmap(text)
+    return beatmap_to_sequence(bm)
+
+
+def test_fuzz_no_crash_and_native_python_agree(native):
+    compared = 0
+    survived_py = survived_cc = 0
+    for name, text in _mutants():
+        py_out = py_err = None
+        try:
+            py_out = _python_featurize(text)
+            survived_py += 1
+        except Exception as e:  # clean Python exception is acceptable
+            py_err = e
+        try:
+            cc_out = native.featurize_text(text)
+            survived_cc += 1
+        except Exception:
+            cc_out = None
+
+        if py_out is not None and cc_out is not None:
+            compared += 1
+            assert cc_out.shape == py_out.shape, (
+                f"{name}: native {cc_out.shape} vs python {py_out.shape}"
+            )
+            if cc_out.size:
+                # both parse in double precision; rows are float32
+                np.testing.assert_allclose(
+                    cc_out, py_out, rtol=1e-4, atol=2e-3, err_msg=name
+                )
+    # the suite is only meaningful if a healthy fraction survives mutation
+    assert compared > 100, (compared, survived_py, survived_cc)
+
+
+def test_fuzz_survivability_agreement(native):
+    """The native parser replaces the Python one transparently in loader
+    workers, so accept/reject decisions must agree — otherwise the training
+    set silently differs between machines with and without the library."""
+    disagreements = []
+    for name, text in _mutants(n_per_seed=3):
+        try:
+            _python_featurize(text)
+            py_ok = True
+        except Exception:
+            py_ok = False
+        try:
+            native.featurize_text(text)
+            cc_ok = True
+        except Exception:
+            cc_ok = False
+        if py_ok != cc_ok:
+            disagreements.append((name, "py" if py_ok else "cc"))
+    assert not disagreements, disagreements[:10]
+
+
+def test_fuzz_pathological_inputs(native):
+    """Hand-picked pathological cases: must not crash either path."""
+    cases = [
+        "",
+        "\n" * 1000,
+        "osu file format v14",
+        "[HitObjects]\n" + "256,192,1000,1,0\n" * 5000,
+        "[HitObjects]\n256,192,1000,2,0,B|,-999,",
+        "[HitObjects]\n256,192,1000,2,0,B|100:100|200:200,1,1e300",
+        "[TimingPoints]\n-28,-100,4,1,0,100,0,0\n[HitObjects]\n0,0,0,1,0",
+        "[General]\nMode: 3\n[HitObjects]\n256,192,1000,1,0",
+        "osu file format v3\n[HitObjects]\n256,192,1000,12,0,5000",  # v3 spinner
+        "[HitObjects]\n256,192,1000,2,0,C|100:100,1,50",  # catmull
+        "\x00\x01\x02 binary junk \xff".encode("latin-1").decode("latin-1"),
+    ]
+    for i, text in enumerate(cases):
+        try:
+            _python_featurize(text)
+        except Exception:
+            pass
+        try:
+            native.featurize_text(text)
+        except Exception:
+            pass
