@@ -311,6 +311,7 @@ def build_train_parser() -> argparse.ArgumentParser:
     _bool_flag(parser, "use-pallas", d.use_pallas)
     _bool_flag(parser, "multihost", False)
     _bool_flag(parser, "scan-blocks", d.scan_blocks)
+    _bool_flag(parser, "remat", d.remat)
     return parser
 
 
@@ -347,5 +348,6 @@ def train_main(args) -> dict:
         profile_dir=args.profile_dir,
         multihost=args.multihost,
         scan_blocks=args.scan_blocks,
+        remat=args.remat,
     )
     return train(config)

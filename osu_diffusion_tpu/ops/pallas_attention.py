@@ -1,4 +1,4 @@
-"""Fused banded (block-local) flash attention — Pallas TPU kernel.
+"""Fused banded (block-local) flash attention — Pallas TPU kernels, fwd + bwd.
 
 The TPU-native replacement for the reference's dense (T, T) boolean mask over
 nn.MultiheadAttention (reference models.py:164-170, sample.py:82-84): the band
@@ -7,9 +7,12 @@ intersect the band  q - L < k <= q + L  are streamed from VMEM and combined
 with an online (flash) softmax, so compute and memory are O(T * L) instead of
 O(T^2) — the asymptotic win that makes long-sequence sampling cheap.
 
-Forward runs the fused kernel; the backward pass recomputes through the XLA
-dense-mask path (attention at our T is recompute-cheap, and sampling — the
-perf-critical path — never differentiates).
+The backward pass is block-local too: the forward additionally emits the
+per-row log-sum-exp (LSE) when differentiated, and two Pallas kernels compute
+dq (grid over query blocks) and dk/dv (grid over key blocks) by recomputing the
+banded probabilities from q, k and the saved LSE — the O(T*L) structure
+survives training, and the (T, T) probability matrix never exists in either
+direction (reference bwd: nn.MultiheadAttention's dense softmax backward).
 """
 from __future__ import annotations
 
@@ -22,19 +25,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK = 128
 NEG_INF = -1e30
+# LSE/delta rows are stored broadcast over a 128-lane minor axis so backward
+# kernels read them as (block, 128) tiles and slice a (block, 1) column —
+# avoiding sublane<->lane transposes (the layout jax's own TPU flash kernel
+# uses for its l/m residuals).
+LANE = 128
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _banded_attn_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, band: int, block: int, t_real: int,
+def _banded_attn_fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, band: int, block: int, t_real: int,
     scale: float, matmul_dtype,
 ):
     """One (batch*head, q-block) program.
 
-    q_ref: (1, B, Dh); k_ref/v_ref: (1, T_pad, Dh); o_ref: (1, B, Dh).
+    q_ref: (1, B, Dh); k_ref/v_ref: (1, T_pad, Dh); o_ref: (1, B, Dh);
+    lse_ref: (1, B, LANE) or None (inference skips it).
     Streams the W = 2*ceil(band/B)+1 key blocks that can overlap the band.
     """
     j = pl.program_id(1)
@@ -52,7 +61,10 @@ def _banded_attn_kernel(
     l = jnp.zeros((block, 1), dtype=jnp.float32)
     acc = jnp.zeros((block, dh), dtype=jnp.float32)
 
-    for w in range(2 * reach + 1):
+    # static trim: kb = j - reach + w with j in [0, n_kb) can only be valid for
+    # w in [reach - n_kb + 1, reach + n_kb - 1]. At T = band = block (training
+    # at the window size) this collapses the loop to ONE iteration.
+    for w in range(max(0, reach - n_kb + 1), min(2 * reach, reach + n_kb - 1) + 1):
         kb = j - reach + w
         kb_valid = jnp.logical_and(kb >= 0, kb < n_kb)
         kb_c = jnp.clip(kb, 0, n_kb - 1)
@@ -86,44 +98,238 @@ def _banded_attn_kernel(
         m = m_new
 
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0] = jnp.broadcast_to(lse, (block, LANE)).astype(lse_ref.dtype)
+
+
+def _pad_bh(a, t_pad):
+    n, h, t, dh = a.shape
+    return jnp.pad(a, [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]).reshape(
+        n * h, t_pad, dh
+    )
 
 
 def _banded_flash_fwd_impl(
-    q, k, v, band: int, block: int, matmul_dtype, t_real: int | None = None
-) -> jnp.ndarray:
+    q, k, v, band: int, block: int, matmul_dtype, t_real: int | None = None,
+    with_lse: bool = False,
+):
     n, h, t, dh = q.shape
     # callers that pre-pad T (e.g. Sampler length bucketing) pass the unpadded
     # length so real queries near the pad boundary don't attend garbage keys
     t_valid = t if t_real is None else int(t_real)
     t_pad = _cdiv(t, block) * block
-    pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
-    qp = jnp.pad(q, pad).reshape(n * h, t_pad, dh)
-    kp = jnp.pad(k, pad).reshape(n * h, t_pad, dh)
-    vp = jnp.pad(v, pad).reshape(n * h, t_pad, dh)
+    qp, kp, vp = _pad_bh(q, t_pad), _pad_bh(k, t_pad), _pad_bh(v, t_pad)
     scale = 1.0 / (dh ** 0.5)
 
     grid = (n * h, t_pad // block)
-    out = pl.pallas_call(
+    q_spec = pl.BlockSpec((1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, t_pad, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((n * h, t_pad, dh), q.dtype)]
+    out_specs = [q_spec]
+    if with_lse:
+        out_shape.append(jax.ShapeDtypeStruct((n * h, t_pad, LANE), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+        )
+    kernel = functools.partial(
+        _banded_attn_fwd_kernel, band=band, block=block, t_real=t_valid,
+        scale=scale, matmul_dtype=matmul_dtype,
+    )
+    if not with_lse:
+        kernel = functools.partial(kernel, lse_ref=None)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=out_specs,
+    )(qp, kp, vp)
+    out = outs[0].reshape(n, h, t_pad, dh)[:, :, :t, :]
+    if with_lse:
+        # keep only the slim (n*h, t_pad) row of the lane-broadcast LSE
+        return out, outs[1][:, :, 0]
+    return out
+
+
+def _banded_attn_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, band: int, block: int, t_real: int, scale: float, matmul_dtype,
+):
+    """dq for one (batch*head, q-block): dq = sum_kb (p*(dp-delta)) @ k * scale.
+
+    q_ref/do_ref/dq_ref: (1, B, Dh) blocked; k_ref/v_ref: (1, T_pad, Dh) full;
+    lse_ref/delta_ref: (1, B, LANE) blocked (row stats lane-broadcast).
+    """
+    j = pl.program_id(1)
+    t_pad = k_ref.shape[1]
+    n_kb = t_pad // block
+    dh = q_ref.shape[2]
+
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(matmul_dtype)
+    do = do_ref[0].astype(matmul_dtype)
+    lse = lse_ref[0][:, :1].astype(jnp.float32)      # (B, 1)
+    delta = delta_ref[0][:, :1].astype(jnp.float32)  # (B, 1)
+    q_idx = j * block + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+
+    reach = _cdiv(band, block)
+    dq = jnp.zeros((block, dh), dtype=jnp.float32)
+
+    # static trim (see forward kernel): only window slots that can be in-range
+    for w in range(max(0, reach - n_kb + 1), min(2 * reach, reach + n_kb - 1) + 1):
+        kb = j - reach + w
+        kb_valid = jnp.logical_and(kb >= 0, kb < n_kb)
+        kb_c = jnp.clip(kb, 0, n_kb - 1)
+        start = pl.multiple_of(kb_c * block, block)
+        k_blk = k_ref[0, pl.ds(start, block), :].astype(matmul_dtype)
+        v_blk = v_ref[0, pl.ds(start, block), :].astype(matmul_dtype)
+
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        k_idx = kb_c * block + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+        allowed = (
+            (k_idx > q_idx - band)
+            & (k_idx <= q_idx + band)
+            & (k_idx < t_real)
+            & (q_idx < t_real)
+            & kb_valid
+        )
+        p = jnp.where(allowed, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dq = dq + jax.lax.dot_general(
+            ds.astype(matmul_dtype), k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _banded_attn_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, band: int, block: int, t_real: int, scale: float, matmul_dtype,
+):
+    """dk/dv for one (batch*head, key-block).
+
+    k_ref/v_ref/dk_ref/dv_ref: (1, B, Dh) blocked; q_ref/do_ref: (1, T_pad, Dh)
+    full; lse_ref/delta_ref: (1, T_pad, LANE) full. A key at index k is seen by
+    queries q in [k - L, k + L) (the transpose of q - L < k <= q + L), so the
+    same block reach applies.
+    """
+    i = pl.program_id(1)
+    t_pad = q_ref.shape[1]
+    n_qb = t_pad // block
+    dh = k_ref.shape[2]
+
+    k_blk = k_ref[0].astype(matmul_dtype)
+    v_blk = v_ref[0].astype(matmul_dtype)
+    k_idx = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+
+    reach = _cdiv(band, block)
+    dk = jnp.zeros((block, dh), dtype=jnp.float32)
+    dv = jnp.zeros((block, dh), dtype=jnp.float32)
+
+    # static trim (see forward kernel): only window slots that can be in-range
+    for w in range(max(0, reach - n_qb + 1), min(2 * reach, reach + n_qb - 1) + 1):
+        qb = i - reach + w
+        qb_valid = jnp.logical_and(qb >= 0, qb < n_qb)
+        qb_c = jnp.clip(qb, 0, n_qb - 1)
+        start = pl.multiple_of(qb_c * block, block)
+        q_blk = (
+            q_ref[0, pl.ds(start, block), :].astype(jnp.float32) * scale
+        ).astype(matmul_dtype)
+        do_blk = do_ref[0, pl.ds(start, block), :].astype(matmul_dtype)
+        lse_q = lse_ref[0, pl.ds(start, block), :1].astype(jnp.float32)
+        delta_q = delta_ref[0, pl.ds(start, block), :1].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Bq, Bk)
+        q_idx = qb_c * block + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+        allowed = (
+            (k_idx > q_idx - band)
+            & (k_idx <= q_idx + band)
+            & (k_idx < t_real)
+            & (q_idx < t_real)
+            & qb_valid
+        )
+        p = jnp.where(allowed, jnp.exp(s - lse_q), 0.0)
+        # dv += p^T @ do
+        dv = dv + jax.lax.dot_general(
+            p.astype(matmul_dtype), do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_q)
+        # dk += ds^T @ (q*scale)  — q_blk already carries the scale
+        dk = dk + jax.lax.dot_general(
+            ds.astype(matmul_dtype), q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _banded_flash_bwd_impl(
+    q, k, v, o, lse, g, band: int, block: int, matmul_dtype,
+    t_real: int | None,
+):
+    n, h, t, dh = q.shape
+    t_valid = t if t_real is None else int(t_real)
+    t_pad = _cdiv(t, block) * block
+    qp, kp, vp = _pad_bh(q, t_pad), _pad_bh(k, t_pad), _pad_bh(v, t_pad)
+    gp = _pad_bh(g, t_pad)
+    scale = 1.0 / (dh ** 0.5)
+
+    # delta_i = sum_d o_i do_i (the softmax-jacobian row term), lane-broadcast
+    delta = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta.reshape(n * h, t), [(0, 0), (0, t_pad - t)])
+    delta_b = jnp.broadcast_to(delta[:, :, None], (n * h, t_pad, LANE))
+    lse_b = jnp.broadcast_to(lse[:, :, None], (n * h, t_pad, LANE))
+
+    grid = (n * h, t_pad // block)
+    blk = lambda: pl.BlockSpec((1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec((1, t_pad, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    stat_blk = pl.BlockSpec((1, block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    stat_full = pl.BlockSpec((1, t_pad, LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
         functools.partial(
-            _banded_attn_kernel, band=band, block=block, t_real=t_valid,
+            _banded_attn_bwd_dq_kernel, band=band, block=block, t_real=t_valid,
             scale=scale, matmul_dtype=matmul_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct((n * h, t_pad, dh), q.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        in_specs=[blk(), full(), full(), blk(), stat_blk, stat_blk],
+        out_specs=blk(),
+    )(qp, kp, vp, gp, lse_b, delta_b)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _banded_attn_bwd_dkv_kernel, band=band, block=block, t_real=t_valid,
+            scale=scale, matmul_dtype=matmul_dtype,
         ),
-    )(qp, kp, vp)
-    return out.reshape(n, h, t_pad, dh)[:, :, :t, :]
+        out_shape=[
+            jax.ShapeDtypeStruct((n * h, t_pad, dh), k.dtype),
+            jax.ShapeDtypeStruct((n * h, t_pad, dh), v.dtype),
+        ],
+        grid=grid,
+        in_specs=[full(), blk(), blk(), full(), stat_full, stat_full],
+        out_specs=[blk(), blk()],
+    )(qp, kp, vp, gp, lse_b, delta_b)
+
+    unpad = lambda a: a.reshape(n, h, t_pad, dh)[:, :, :t, :]
+    return unpad(dq), unpad(dk), unpad(dv)
 
 
 def _xla_banded_attention(q, k, v, band: int, t_real: int | None = None) -> jnp.ndarray:
-    """Dense-mask reference path (differentiable)."""
+    """Dense-mask reference path (differentiable; tests compare against it)."""
     from osu_diffusion_tpu.ops.attention import banded_attention_mask, dot_product_attention
 
     t = q.shape[2]
@@ -147,15 +353,17 @@ def banded_flash_attention(
 
 
 def _fwd(q, k, v, band, block, matmul_dtype, t_real):
-    return _banded_flash_fwd_impl(q, k, v, band, block, matmul_dtype, t_real), (q, k, v)
+    out, lse = _banded_flash_fwd_impl(
+        q, k, v, band, block, matmul_dtype, t_real, with_lse=True
+    )
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(band, block, matmul_dtype, t_real, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda a, b, c: _xla_banded_attention(a, b, c, band, t_real), q, k, v
+    q, k, v, o, lse = res
+    return _banded_flash_bwd_impl(
+        q, k, v, o, lse, g, band, block, matmul_dtype, t_real
     )
-    return vjp(g)
 
 
 banded_flash_attention.defvjp(_fwd, _bwd)

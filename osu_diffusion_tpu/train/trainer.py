@@ -77,6 +77,11 @@ class TrainConfig:
     profile_steps: int = 3  # device dispatches to capture
     multihost: bool = False  # call jax.distributed.initialize() (DCN across hosts)
     scan_blocks: bool = False  # nn.scan over depth: 4.4x faster compiles, ~10% runtime cost
+    # rematerialize each block in backward (jax.checkpoint). With use_pallas
+    # the fused kernels' custom VJPs already store only block inputs + the
+    # pre-GELU activation, so remat=False fits DiT-B batch-256 on a 16 GB chip
+    # and skips the ~33% forward-recompute FLOPs.
+    remat: bool = True
 
 
 def _embed_mask(params, trainable_embed_only: bool):
@@ -140,6 +145,7 @@ def train(config: TrainConfig) -> dict:
         context_size=CONTEXT_SIZE,
         class_dropout_prob=config.class_dropout_prob,
         scan_blocks=config.scan_blocks,
+        remat=config.remat,
     )
     diffusion = create_diffusion(
         timestep_respacing="",
@@ -224,6 +230,11 @@ def train(config: TrainConfig) -> dict:
             model, diffusion, optimizer, trainable_mask=trainable_mask,
             compute_dtype=compute_dtype, max_timestep=config.max_timestep,
             augment=config.augment, use_pallas=config.use_pallas,
+            # band = seq_len at T = seq_len is exactly full attention (the
+            # band q-L < k <= q+L covers [0, T) for every query), so training
+            # through the flash kernel is mathematically the reference's
+            # unmasked training attention
+            band=config.seq_len if config.use_pallas else None,
         )
         return (
             jax.jit(single, donate_argnums=(0,)),

@@ -138,3 +138,50 @@ def test_gradients_flow():
     g_want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_got, g_want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_gradients_multi_block_band():
+    """Backward kernels (dq / dkv) over several key blocks per query block."""
+    q, k, v = _qkv(t=256, dh=16, seed=3)
+    band, block = 96, 64
+
+    def loss(q, k, v):
+        return jnp.sum(pa.banded_flash_attention(q, k, v, band, block, jnp.float32) ** 3)
+
+    g_got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_ref(q, k, v):
+        o = dot_product_attention(q, k, v, banded_attention_mask(256, band))
+        return jnp.sum(o ** 3)
+
+    g_want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_gradients_ragged_t_real():
+    """Grads at a pre-padded length: real region matches the masked dense path,
+    the padded tail gets exactly zero gradient."""
+    t, t_pad, band, block = 150, 256, 48, 64
+    q, k, v = _qkv(t=t, h=1, dh=16, seed=4)
+    g = jax.random.normal(jax.random.PRNGKey(7), (1, 1, t_pad - t, 16)) * 10
+    qp = jnp.concatenate([q, g], axis=2)
+    kp = jnp.concatenate([k, g], axis=2)
+    vp = jnp.concatenate([v, g], axis=2)
+
+    def loss(q, k, v):
+        out = pa.banded_flash_attention(q, k, v, band, block, jnp.float32, t_real=t)
+        return jnp.sum(out[:, :, :t, :] ** 2)
+
+    g_got = jax.grad(loss, argnums=(0, 1, 2))(qp, kp, vp)
+
+    def loss_ref(q, k, v):
+        o = dot_product_attention(q, k, v, banded_attention_mask(t, band))
+        return jnp.sum(o ** 2)
+
+    g_want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(
+            np.asarray(a)[:, :, :t, :], np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(a)[:, :, t:, :], 0.0)

@@ -97,3 +97,20 @@ def test_model_level_pallas_mlp_consistency():
     fused = model.apply(params, x, ts, o, c, y, use_pallas=True)
     # production kernels use bf16 matmul inputs -> bf16-level agreement
     np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), rtol=3e-2, atol=3e-2)
+
+
+def test_gradients_match_reference_multi_h_block():
+    """Training-mode residual outputs (pre-GELU `a`, pre-gate mlp) are written
+    per hidden block; grads must still match with >1 h-block and ragged T."""
+    args = _inputs(t=20, d=32, h=256)
+
+    def loss_kernel(*a):
+        return jnp.sum(pm.adaln_mlp(*a, 16, 1e-6, jnp.float32) ** 3)
+
+    def loss_ref(*a):
+        return jnp.sum(pm._reference_impl(*a, eps=1e-6) ** 3)
+
+    g_got = jax.grad(loss_kernel, argnums=tuple(range(8)))(*args)
+    g_want = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)

@@ -1,0 +1,76 @@
+"""Training through the fused Pallas kernels: gradient parity with the XLA
+path at the model level (interpret mode on CPU; same kernels compile for TPU).
+
+This is the guarantee behind use_pallas=True training (VERDICT round-1 item 3):
+the banded flash-attention backward and the residual-saving adaLN-MLP backward
+must produce the same parameter gradients as the dense XLA path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import osu_diffusion_tpu.ops.pallas_attention as pa
+import osu_diffusion_tpu.ops.pallas_mlp as pm
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    for mod in (pa, pm):
+        orig = mod.pl.pallas_call
+
+        def patched(*args, _orig=orig, **kwargs):
+            kwargs.setdefault("interpret", True)
+            return _orig(*args, **kwargs)
+
+        monkeypatch.setattr(mod.pl, "pallas_call", patched)
+
+
+def _setup(remat: bool):
+    from osu_diffusion_tpu.models.dit import DiT, DiTConfig
+
+    model = DiT(DiTConfig(
+        hidden_size=32, depth=2, num_heads=2, num_classes=5,
+        context_size=144, class_dropout_prob=0.1, remat=remat,
+    ))
+    r = np.random.RandomState(0)
+    n, t = 2, 128
+    x = jnp.asarray(r.rand(n, t, 2), jnp.float32)
+    ts = jnp.asarray(r.randint(0, 1000, (n,)))
+    o = jnp.asarray(r.rand(n, t) * 100, jnp.float32)
+    c = jnp.asarray(r.rand(n, t, 144), jnp.float32)
+    y = jnp.asarray(r.randint(0, 5, (n,)))
+    params = model.init(jax.random.PRNGKey(0), x, ts, o, c, y)["params"]
+    # adaLN-Zero init gates both halves to zero; jitter so all paths carry grad
+    leaves, td = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        td, [l + 0.03 * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)]
+    )
+    return model, params, (x, ts, o, c, y)
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_param_grads_match_xla_path(remat):
+    model, params, (x, ts, o, c, y) = _setup(remat)
+    t = x.shape[1]
+
+    def loss(p, use_pallas):
+        out = model.apply(
+            {"params": p}, x, ts, o, c, y, train=True,
+            band=t if use_pallas else None, use_pallas=use_pallas,
+            rngs={"label_dropout": jax.random.PRNGKey(3)},
+        )
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    g_xla = jax.grad(lambda p: loss(p, False))(params)
+    g_pallas = jax.grad(lambda p: loss(p, True))(params)
+
+    flat_x = jax.tree_util.tree_leaves_with_path(g_xla)
+    flat_p = jax.tree.leaves(g_pallas)
+    assert len(flat_x) == len(flat_p)
+    for (path, a), b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )

@@ -35,6 +35,12 @@ def main() -> None:
     parser.add_argument("--calls", type=int, default=3)
     parser.add_argument("--num-classes", type=int, default=52670)
     parser.add_argument("--no-bf16", action="store_true")
+    parser.add_argument("--use-pallas", action="store_true",
+                        help="fused kernels (flash attention + adaLN-MLP) with "
+                             "their residual-saving custom VJPs")
+    parser.add_argument("--no-remat", action="store_true",
+                        help="disable per-block rematerialization")
+    parser.add_argument("--scan-blocks", action="store_true")
     args = parser.parse_args()
 
     from osu_diffusion_tpu import CONTEXT_SIZE
@@ -50,7 +56,8 @@ def main() -> None:
 
     model = DiT_models[args.model](
         num_classes=args.num_classes, context_size=CONTEXT_SIZE,
-        class_dropout_prob=0.2,
+        class_dropout_prob=0.2, remat=not args.no_remat,
+        scan_blocks=args.scan_blocks,
     )
     diffusion = create_diffusion("", noise_schedule="squaredcos_cap_v2", use_l1=True)
     opt = make_optimizer()
@@ -78,6 +85,8 @@ def main() -> None:
         single = make_train_step(
             model, diffusion, opt,
             compute_dtype=jnp.float32 if args.no_bf16 else jnp.bfloat16,
+            use_pallas=args.use_pallas,
+            band=args.seq_len if args.use_pallas else None,
         )
         k = args.steps_per_call
         multi = jax.jit(make_multi_train_step(single, k), donate_argnums=(0,))
@@ -109,6 +118,8 @@ def main() -> None:
     mfu = steps_per_sec * flops / V5E_BF16_PEAK_FLOPS
     print(json.dumps({
         "model": args.model,
+        "use_pallas": args.use_pallas,
+        "remat": not args.no_remat,
         "batch": n,
         "seq_len": t,
         "steps_per_sec": round(steps_per_sec, 3),
