@@ -48,6 +48,22 @@ def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndar
     return x * (1 + scale[:, None, :]) + shift[:, None, :]
 
 
+def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Non-affine LayerNorm: statistics in f32, result in x.dtype.
+
+    Replaces nn.LayerNorm(use_bias=False, use_scale=False) — parameter-free so
+    checkpoints are unaffected — because flax promotes to f32 and the promotion
+    cascades: with bf16 activations the whole residual stream silently ran in
+    f32, doubling every elementwise/reduce/reshape op's HBM traffic (profiled
+    at ~25% of the DiT-B train step). Matches torch LayerNorm's two-pass
+    variance (reference models.py:136)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return (xc * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
 class TimestepEmbedder(nn.Module):
     """256-dim sinusoid -> MLP(SiLU) -> hidden. Parity: models.py:21-38."""
 
@@ -116,12 +132,20 @@ class FirstLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, o: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        # sincos tables in f32 for precision, stream dtype from there on
         x_freq = position_sequence_embedding(
-            x * PLAYFIELD, self.frequency_embedding_size
+            x.astype(jnp.float32) * PLAYFIELD, self.frequency_embedding_size
         )
-        o_freq = offset_sequence_embedding(o / 10.0, self.frequency_embedding_size)
-        xoc = jnp.concatenate([x_freq, o_freq, c], axis=-1)
-        return nn.Dense(self.hidden_size, kernel_init=normal02, name="proj")(xoc)
+        o_freq = offset_sequence_embedding(
+            o.astype(jnp.float32) / 10.0, self.frequency_embedding_size
+        )
+        xoc = jnp.concatenate(
+            [x_freq.astype(x.dtype), o_freq.astype(x.dtype), c.astype(x.dtype)],
+            axis=-1,
+        )
+        return nn.Dense(
+            self.hidden_size, kernel_init=normal02, name="proj", dtype=x.dtype
+        )(xoc)
 
 
 class SelfAttention(nn.Module):
@@ -139,6 +163,8 @@ class SelfAttention(nn.Module):
         band: int | None,
         use_pallas: bool,
         valid_len: int | None = None,
+        cp_mesh=None,
+        cp_axis: str = "model",
     ) -> jnp.ndarray:
         d = self.hidden_size
         qkv_kernel = self.param("qkv_kernel", xavier, (d, 3 * d))
@@ -149,6 +175,7 @@ class SelfAttention(nn.Module):
             x, qkv_kernel, qkv_bias, out_kernel, out_bias,
             num_heads=self.num_heads, mask=mask, band=band,
             use_pallas=use_pallas, valid_len=valid_len,
+            cp_mesh=cp_mesh, cp_axis=cp_axis,
         )
 
 
@@ -191,19 +218,22 @@ class DiTBlock(nn.Module):
         band: int | None = None,
         use_pallas: bool = False,
         valid_len: int | None = None,
+        cp_mesh=None,
+        cp_axis: str = "model",
     ) -> jnp.ndarray:
+        # dtype=x.dtype keeps the modulation vectors in the stream dtype (the
+        # conditioning vector is f32); without it f32 shift/scale/gate would
+        # promote the whole residual stream back to f32
         mod = nn.Dense(
-            6 * self.hidden_size, kernel_init=zeros, bias_init=zeros, name="adaLN"
+            6 * self.hidden_size, kernel_init=zeros, bias_init=zeros,
+            name="adaLN", dtype=x.dtype,
         )(nn.silu(cond))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
             mod, 6, axis=-1
         )
-        ln = lambda name: nn.LayerNorm(
-            epsilon=1e-6, use_bias=False, use_scale=False, name=name
-        )
-        h = modulate(ln("norm1")(x), shift_msa, scale_msa)
+        h = modulate(layer_norm(x), shift_msa, scale_msa)
         attn = SelfAttention(self.hidden_size, self.num_heads, name="attn")(
-            h, mask, band, use_pallas, valid_len
+            h, mask, band, use_pallas, valid_len, cp_mesh, cp_axis
         )
         x = x + gate_msa[:, None, :] * attn
 
@@ -215,10 +245,14 @@ class DiTBlock(nn.Module):
 
             x = adaln_mlp(x, shift_mlp, scale_mlp, gate_mlp, w1, b1, w2, b2)
         else:
-            h = modulate(ln("norm2")(x), shift_mlp, scale_mlp)
-            h = jnp.dot(h, w1, preferred_element_type=jnp.float32).astype(x.dtype) + b1
+            h = modulate(layer_norm(x), shift_mlp, scale_mlp)
+            h = jnp.dot(
+                h, w1.astype(x.dtype), preferred_element_type=jnp.float32
+            ).astype(x.dtype) + b1.astype(x.dtype)
             h = nn.gelu(h, approximate=True)  # GELU-tanh, parity models.py:138
-            h = jnp.dot(h, w2, preferred_element_type=jnp.float32).astype(x.dtype) + b2
+            h = jnp.dot(
+                h, w2.astype(x.dtype), preferred_element_type=jnp.float32
+            ).astype(x.dtype) + b2.astype(x.dtype)
             x = x + gate_mlp[:, None, :] * h
         return x
 
@@ -232,14 +266,12 @@ class FinalLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
         mod = nn.Dense(
-            2 * self.hidden_size, kernel_init=zeros, bias_init=zeros, name="adaLN"
+            2 * self.hidden_size, kernel_init=zeros, bias_init=zeros,
+            name="adaLN", dtype=x.dtype,
         )(nn.silu(cond))
         shift, scale = jnp.split(mod, 2, axis=-1)
-        x = modulate(
-            nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False, name="norm_final")(x),
-            shift,
-            scale,
-        )
+        x = modulate(layer_norm(x), shift, scale)
+        # head stays in f32: the eps/variance outputs feed f32 diffusion math
         return nn.Dense(
             self.out_channels, kernel_init=zeros, bias_init=zeros, name="linear"
         )(x)
@@ -268,6 +300,11 @@ class DiTConfig:
     # runtime (the headline benchmark) wins over compile latency, and the
     # persistent compilation cache amortizes repeat compiles anyway.
     scan_blocks: bool = False
+    # partial unrolling of the block scan: trace `scan_unroll` blocks per scan
+    # iteration — recovers cross-layer XLA optimization (the source of the
+    # scan runtime gap) while keeping most of the compile-time win. depth must
+    # be divisible by it.
+    scan_unroll: int = 1
 
     @property
     def out_channels(self) -> int:
@@ -302,6 +339,8 @@ class DiT(nn.Module):
         use_pallas: bool = False,
         valid_len: int | None = None,
         force_drop_ids: jnp.ndarray | None = None,
+        cp_mesh=None,
+        cp_axis: str = "model",
     ) -> jnp.ndarray:
         cfg = self.config
         x = FirstLayer(cfg.hidden_size, name="xoc_embedder")(x, o, c)
@@ -315,7 +354,7 @@ class DiT(nn.Module):
         # remat applies in training only — inference never differentiates, so
         # it would just slow tracing there.
         def block_call(mdl, h, cv, m):
-            return mdl(h, cv, m, band, use_pallas, valid_len)
+            return mdl(h, cv, m, band, use_pallas, valid_len, cp_mesh, cp_axis)
 
         use_remat = cfg.remat and train
 
@@ -331,6 +370,7 @@ class DiT(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=cfg.depth,
+                unroll=cfg.scan_unroll,
             )
             x, _ = scan(
                 DiTBlock(
@@ -362,6 +402,8 @@ class DiT(nn.Module):
         band: int | None = None,
         use_pallas: bool = False,
         valid_len: int | None = None,
+        cp_mesh=None,
+        cp_axis: str = "model",
     ) -> jnp.ndarray:
         """Classifier-free-guidance batched forward. Parity: models.py:327-343.
 
@@ -375,7 +417,7 @@ class DiT(nn.Module):
         model_out = self.__call__(
             combined, t, o, c, y, train=False,
             attn_mask=attn_mask, band=band, use_pallas=use_pallas,
-            valid_len=valid_len,
+            valid_len=valid_len, cp_mesh=cp_mesh, cp_axis=cp_axis,
         )
         eps, rest = (
             model_out[..., : cfg.in_channels],

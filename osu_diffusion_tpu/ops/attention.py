@@ -59,6 +59,8 @@ def multi_head_attention(
     band: int | None = None,
     use_pallas: bool = False,
     valid_len: int | None = None,
+    cp_mesh=None,
+    cp_axis: str = "model",
 ) -> jnp.ndarray:
     """Self-attention over x (N, T, D) with packed qkv projection.
 
@@ -70,10 +72,20 @@ def multi_head_attention(
 
     `valid_len`: real (unpadded) sequence length when T was pre-padded (e.g. by
     the Sampler's length bucketing); keys at index >= valid_len are masked out.
+
+    `cp_mesh`/`cp_axis`: context parallelism — shard the sequence axis over the
+    given mesh axis with neighbor halo exchange (parallel/context.py); requires
+    `band` and T divisible by axis_size * 128. Capability beyond the reference
+    (whose banded mask is single-device, sample.py:82-84).
     """
     n, t, d = x.shape
     dh = d // num_heads
-    qkv = jnp.einsum("ntd,de->nte", x, qkv_kernel, preferred_element_type=jnp.float32).astype(x.dtype) + qkv_bias
+    # cast weights to the stream dtype at use (f32 master params): bf16
+    # operands keep every cotangent/elementwise op in bf16 instead of f32
+    qkv = jnp.einsum(
+        "ntd,de->nte", x, qkv_kernel.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + qkv_bias.astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(a):
@@ -81,7 +93,17 @@ def multi_head_attention(
 
     q, k, v = heads(q), heads(k), heads(v)
 
-    if use_pallas and band is not None:
+    if cp_mesh is not None:
+        from osu_diffusion_tpu.parallel.context import (
+            context_parallel_banded_attention,
+        )
+
+        assert band is not None, "context parallelism requires a band"
+        o = context_parallel_banded_attention(
+            q, k, v, band, cp_mesh, axis=cp_axis, use_pallas=use_pallas,
+            valid_len=valid_len,
+        )
+    elif use_pallas and band is not None:
         from osu_diffusion_tpu.ops.pallas_attention import banded_flash_attention
 
         o = banded_flash_attention(q, k, v, band, t_real=valid_len)
@@ -94,4 +116,7 @@ def multi_head_attention(
         o = dot_product_attention(q, k, v, mask)
 
     o = o.transpose(0, 2, 1, 3).reshape(n, t, d)
-    return jnp.einsum("ntd,de->nte", o, out_kernel, preferred_element_type=jnp.float32).astype(x.dtype) + out_bias
+    return jnp.einsum(
+        "ntd,de->nte", o, out_kernel.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + out_bias.astype(x.dtype)

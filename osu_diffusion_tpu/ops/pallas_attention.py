@@ -38,12 +38,15 @@ def _cdiv(a: int, b: int) -> int:
 
 def _banded_attn_fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, band: int, block: int, t_real: int,
-    scale: float, matmul_dtype,
+    scale: float, matmul_dtype, bounds_ref=None,
 ):
     """One (batch*head, q-block) program.
 
     q_ref: (1, B, Dh); k_ref/v_ref: (1, T_pad, Dh); o_ref: (1, B, Dh);
-    lse_ref: (1, B, LANE) or None (inference skips it).
+    lse_ref: (1, B, LANE) or None (inference skips it);
+    bounds_ref: optional (1, 2) SMEM int32 [k_lo, k_hi) — a *dynamic* valid-key
+    range used by the context-parallel halo path, where edge shards must mask
+    the neighbor halo they did not receive (parallel/context.py).
     Streams the W = 2*ceil(band/B)+1 key blocks that can overlap the band.
     """
     j = pl.program_id(1)
@@ -83,6 +86,8 @@ def _banded_attn_fwd_kernel(
             & (k_idx < t_real)
             & kb_valid
         )
+        if bounds_ref is not None:
+            allowed = allowed & (k_idx >= bounds_ref[0, 0]) & (k_idx < bounds_ref[0, 1])
         s = jnp.where(allowed, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -150,6 +155,51 @@ def _banded_flash_fwd_impl(
         # keep only the slim (n*h, t_pad) row of the lane-broadcast LSE
         return out, outs[1][:, :, 0]
     return out
+
+
+def banded_flash_attention_ranged(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, band: int,
+    k_lo: jnp.ndarray, k_hi: jnp.ndarray,
+    block: int = DEFAULT_BLOCK, matmul_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Banded flash attention with a DYNAMIC valid-key range [k_lo, k_hi).
+
+    Forward-only variant used by context-parallel sampling
+    (parallel/context.py): q/k/v are one shard's halo-extended slices, and the
+    valid range depends on the shard's position on the mesh axis (a traced
+    value — edge shards mask the halo that has no neighbor). T must already be
+    a multiple of `block`.
+    """
+    n, h, t, dh = q.shape
+    assert t % block == 0, (t, block)
+    qp = q.reshape(n * h, t, dh)
+    kp = k.reshape(n * h, t, dh)
+    vp = v.reshape(n * h, t, dh)
+    scale = 1.0 / (dh ** 0.5)
+    bounds = jnp.stack([k_lo, k_hi]).astype(jnp.int32).reshape(1, 2)
+
+    def kernel(q_ref, k_ref, v_ref, bounds_ref, o_ref):
+        _banded_attn_fwd_kernel(
+            q_ref, k_ref, v_ref, o_ref, None, band=band, block=block,
+            t_real=t, scale=scale, matmul_dtype=matmul_dtype,
+            bounds_ref=bounds_ref,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n * h, t, dh), q.dtype),
+        grid=(n * h, t // block),
+        in_specs=[
+            pl.BlockSpec((1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+    )(qp, kp, vp, bounds)
+    return out.reshape(n, h, t, dh)
 
 
 def _banded_attn_bwd_dq_kernel(

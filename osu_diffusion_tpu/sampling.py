@@ -54,12 +54,23 @@ class Sampler:
         bucket: int = 128,
         clip_denoised: bool = True,
         method: str = "ancestral",  # or "ddim"
+        cp_mesh=None,
+        cp_axis: str = "model",
     ):
+        """`cp_mesh`/`cp_axis`: context parallelism — shard the sequence over
+        the mesh axis for lengths beyond one chip (parallel/context.py).
+        Requires `band`; the length bucket is raised to axis_size * 128 so
+        every compiled shape divides evenly across shards."""
         self.model = model
         self.diffusion = diffusion
         self.cfg_scale = float(cfg_scale)
         self.band = band
         self.use_pallas = use_pallas
+        self.cp_mesh = cp_mesh
+        self.cp_axis = cp_axis
+        if cp_mesh is not None:
+            assert band is not None, "context parallelism requires a band"
+            bucket = max(bucket, cp_mesh.shape[cp_axis] * 128)
         self.bucket = bucket
         self.clip_denoised = clip_denoised
         if method not in ("ancestral", "ddim"):
@@ -75,12 +86,13 @@ class Sampler:
         """use_cfg=False is the plain-forward variant (used by the toy evals
         which sample with the null class and no guidance, test_toy.py:65-74)."""
         band = self.band
+        cp = self.cp_mesh is not None
         use_pallas = self.use_pallas and band is not None
         # real (unpadded) length: the Pallas kernel masks padded keys itself;
         # the XLA path folds the key-validity into the dense mask
         valid_len = t_real if t_pad != t_real else None
         mask = None
-        if not use_pallas:
+        if not use_pallas and not cp:
             if band is not None:
                 mask = banded_attention_mask(t_pad, band)
             else:
@@ -92,9 +104,11 @@ class Sampler:
             def model_fn(x, t, **kw):
                 kwargs = dict(
                     attn_mask=mask,
-                    band=band if use_pallas else None,
+                    band=band if (use_pallas or cp) else None,
                     use_pallas=use_pallas,
                     valid_len=valid_len,
+                    cp_mesh=self.cp_mesh,
+                    cp_axis=self.cp_axis,
                 )
                 if use_cfg:
                     kwargs.update(

@@ -1,0 +1,139 @@
+"""Context-parallel (sequence-sharded) banded attention vs the single-device
+reference path, on the 8-virtual-CPU-device mesh.
+
+Capability beyond the reference (its banded mask, sample.py:82-84, is
+single-device only): the sequence axis is sharded over the mesh "model" axis
+and neighbor halos travel by ppermute (parallel/context.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import osu_diffusion_tpu.ops.pallas_attention as pa
+from osu_diffusion_tpu.ops.attention import banded_attention_mask, dot_product_attention
+from osu_diffusion_tpu.parallel import make_mesh
+from osu_diffusion_tpu.parallel.context import context_parallel_banded_attention
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    orig = pa.pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pa.pl, "pallas_call", patched)
+
+
+def _qkv(n, h, t, dh, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(k, (n, h, t, dh), jnp.float32) for k in ks)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.parametrize("num_model,band,block", [
+    (4, 128, 128),   # halo = 1 block
+    (2, 48, 64),     # band < block
+    (8, 160, 128),   # halo = 2 blocks (band spans block boundary)
+])
+def test_matches_single_device_banded(use_pallas, num_model, band, block):
+    t = num_model * block * 2  # 2 blocks per shard
+    q, k, v = _qkv(2, 2, t, 16)
+    mesh = make_mesh(num_model=num_model)
+    with mesh:
+        got = context_parallel_banded_attention(
+            q, k, v, band, mesh, axis="model", block=block,
+            use_pallas=use_pallas, matmul_dtype=jnp.float32,
+        )
+    want = dot_product_attention(q, k, v, banded_attention_mask(t, band))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_valid_len_masks_padded_tail_across_shards(use_pallas):
+    """A padded global tail must be masked no matter which shard holds it."""
+    num_model, band, block = 4, 96, 64
+    t = num_model * block * 2      # 512
+    t_real = 380                   # tail lands inside shard 2 of 4
+    q, k, v = _qkv(1, 2, t_real, 16, seed=3)
+    g = jax.random.normal(jax.random.PRNGKey(9), (1, 2, t - t_real, 16)) * 30
+    qp = jnp.concatenate([q, g], axis=2)
+    kp = jnp.concatenate([k, g], axis=2)
+    vp = jnp.concatenate([v, g], axis=2)
+    mesh = make_mesh(num_model=num_model)
+    with mesh:
+        got = context_parallel_banded_attention(
+            qp, kp, vp, band, mesh, axis="model", block=block,
+            use_pallas=use_pallas, valid_len=t_real, matmul_dtype=jnp.float32,
+        )
+    want = dot_product_attention(q, k, v, banded_attention_mask(t_real, band))
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, :t_real, :], np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_jit_with_sharded_inputs():
+    """The op composes with jit + explicitly sharded operands (the sampling
+    deployment shape: batch over "data", sequence over "model")."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    num_model, band, block = 4, 128, 128
+    t = num_model * block
+    q, k, v = _qkv(2, 2, t, 16, seed=5)
+    mesh = make_mesh(num_model=num_model)
+    sh = NamedSharding(mesh, P(None, None, "model", None))
+    q, k, v = (jax.device_put(a, sh) for a in (q, k, v))
+
+    @jax.jit
+    def f(q, k, v):
+        return context_parallel_banded_attention(
+            q, k, v, band, mesh, axis="model", block=block, use_pallas=False
+        )
+
+    with mesh:
+        got = f(q, k, v)
+    want = dot_product_attention(q, k, v, banded_attention_mask(t, band))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_sampler_end_to_end_with_context_parallelism():
+    """Full CFG denoise chain with the sequence sharded over the mesh "model"
+    axis must equal the single-device banded chain (same rng, same bucket)."""
+    from osu_diffusion_tpu.diffusion import create_diffusion
+    from osu_diffusion_tpu.models.dit import DiT, DiTConfig
+    from osu_diffusion_tpu.sampling import Sampler
+
+    ctx = 144
+    model = DiT(DiTConfig(
+        hidden_size=32, depth=2, num_heads=2, num_classes=7,
+        context_size=ctx, class_dropout_prob=0.1,
+    ))
+    t = 512  # = 4 shards * 128, so both paths compile the same padded shape
+    y = jnp.asarray([3, 7], jnp.int32)  # [cond | null]
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 8, 2)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, 8)), jnp.zeros((2, 8, ctx)), jnp.zeros((2,), jnp.int32),
+    )["params"]
+    leaves, td = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        td, [l + 0.05 * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)]
+    )
+
+    diffusion = create_diffusion("3")
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, t, 2))
+    o = jnp.cumsum(jnp.ones((2, t)), axis=1) * 100
+    c = jax.random.uniform(jax.random.PRNGKey(2), (2, t, ctx))
+    band = 128
+
+    plain = Sampler(model, diffusion, cfg_scale=2.0, band=band)(
+        params, z, o, c, y, jax.random.PRNGKey(3)
+    )
+    mesh = make_mesh(num_model=4)
+    with mesh:
+        cp = Sampler(
+            model, diffusion, cfg_scale=2.0, band=band, cp_mesh=mesh,
+        )(params, z, o, c, y, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(plain), rtol=1e-4, atol=1e-4)

@@ -83,3 +83,21 @@ def test_scan_training_grad_and_sharding():
     k = sharded["blocks"]["mlp_fc1"]["kernel"]  # (depth, in, out)
     # output axis sharded over "model", depth/in replicated
     assert k.sharding.shard_shape(k.shape) == (3, 32, k.shape[2] // 2)
+
+
+def test_scan_unroll_agrees():
+    """Partial scan unrolling (scan_unroll=3 over depth 3) must not change the
+    function — only how many blocks are traced per scan iteration."""
+    import dataclasses
+
+    x, t, o, c, y = _inputs()
+    scanned = DiT(_cfg(True))
+    params = scanned.init(jax.random.PRNGKey(4), x, t, o, c, y)["params"]
+    params = jax.tree.map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.PRNGKey(5), p.shape),
+        params,
+    )
+    cfg_u = dataclasses.replace(_cfg(True), scan_unroll=3)
+    out1 = scanned.apply({"params": params}, x, t, o, c, y)
+    out3 = DiT(cfg_u).apply({"params": params}, x, t, o, c, y)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out1), rtol=1e-6, atol=1e-6)

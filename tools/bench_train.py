@@ -41,6 +41,10 @@ def main() -> None:
     parser.add_argument("--no-remat", action="store_true",
                         help="disable per-block rematerialization")
     parser.add_argument("--scan-blocks", action="store_true")
+    parser.add_argument("--band", type=int, default=None,
+                        help="banded attention half-width (long-sequence "
+                             "fine-tuning shape); defaults to seq-len when "
+                             "--use-pallas is set")
     args = parser.parse_args()
 
     from osu_diffusion_tpu import CONTEXT_SIZE
@@ -86,7 +90,8 @@ def main() -> None:
             model, diffusion, opt,
             compute_dtype=jnp.float32 if args.no_bf16 else jnp.bfloat16,
             use_pallas=args.use_pallas,
-            band=args.seq_len if args.use_pallas else None,
+            band=args.band if args.band is not None
+            else (args.seq_len if args.use_pallas else None),
         )
         k = args.steps_per_call
         multi = jax.jit(make_multi_train_step(single, k), donate_argnums=(0,))
@@ -120,6 +125,7 @@ def main() -> None:
         "model": args.model,
         "use_pallas": args.use_pallas,
         "remat": not args.no_remat,
+        "band": args.band,
         "batch": n,
         "seq_len": t,
         "steps_per_sec": round(steps_per_sec, 3),
