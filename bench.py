@@ -28,7 +28,11 @@ def main() -> None:
     from osu_diffusion_tpu.models import DiT_models
     from osu_diffusion_tpu.sampling import Sampler
 
-    model = DiT_models["DiT-B"](num_classes=52670, context_size=CONTEXT_SIZE)
+    # scan-over-depth: same runtime as the unrolled layout (1720 vs 1719
+    # steps/s measured on the chip), 10x faster cold compile (14.5s vs 146s)
+    model = DiT_models["DiT-B"](
+        num_classes=52670, context_size=CONTEXT_SIZE, scan_blocks=True
+    )
     steps = 100
     diffusion = create_diffusion(str(steps), noise_schedule="squaredcos_cap_v2")
 

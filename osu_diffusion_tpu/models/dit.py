@@ -243,7 +243,15 @@ class DiTBlock(nn.Module):
         if use_pallas:
             from osu_diffusion_tpu.ops.pallas_mlp import adaln_mlp
 
-            x = adaln_mlp(x, shift_mlp, scale_mlp, gate_mlp, w1, b1, w2, b2)
+            # mod vectors go in f32: the kernel row-indexes the (N, D) arrays
+            # dynamically, and Mosaic cannot prove sublane alignment for bf16
+            # (16-row tiles) there; they are tiny and the kernel computes in
+            # f32 anyway
+            f32 = jnp.float32
+            x = adaln_mlp(
+                x, shift_mlp.astype(f32), scale_mlp.astype(f32),
+                gate_mlp.astype(f32), w1, b1, w2, b2,
+            )
         else:
             h = modulate(layer_norm(x), shift_mlp, scale_mlp)
             h = jnp.dot(

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Long learning run on the toy fixtures with periodic in-paint eval.
+
+Alternates training chunks (the real trainer, checkpoint/resume between
+chunks) with the reference's test_toy in-paint accuracy protocol
+(evals/toy.py, parity testing/test_toy.py:161-190), appending one JSON line
+per eval round to --log. Extends the round-1 learning-sanity curve
+(3k/20k/60k steps) to hundreds of thousands of steps (VERDICT round-1 item 9).
+
+The toy training set is synthesized from assets/toy_datasets into the
+Track structure the loader expects; labels are per-fixture (one style class
+per file), matching how the reference's label-per-beatmap training works.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from glob import glob
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_dataset(root: str, assets: str) -> int:
+    """All 4 suites + filler as TrackNNNNN/beatmaps/NNNNNN files; returns the
+    number of classes (files)."""
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    suites = ["geometry", "stream", "symmetry", "visual_spacing"]
+    files = []
+    for s in suites:
+        files += sorted(glob(os.path.join(assets, s, "*.osu")))
+    files.append(os.path.join(assets, "kimi_no_bouken.osu"))
+    n_tracks = 8
+    for i, f in enumerate(files):
+        d = os.path.join(root, f"Track{i % n_tracks:05d}", "beatmaps")
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(f, os.path.join(d, f"{i:06d} {os.path.basename(f)}"))
+    return len(files)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--total-steps", type=int, default=400_000)
+    parser.add_argument("--chunk", type=int, default=25_000)
+    parser.add_argument("--model", type=str, default="DiT-S")
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--steps-per-call", type=int, default=32)
+    parser.add_argument("--num-predictions", type=int, default=100)
+    parser.add_argument("--num-sampling-steps", type=int, default=1000)
+    parser.add_argument("--suites", type=str, nargs="*",
+                        default=["stream", "geometry", "symmetry", "visual_spacing"])
+    parser.add_argument("--results-dir", type=str, default="/tmp/longrun_results")
+    parser.add_argument("--data-dir", type=str, default="/tmp/longrun_toy_ds")
+    parser.add_argument("--log", type=str, default="/tmp/longrun_evals.jsonl")
+    parser.add_argument("--wall-limit-s", type=float, default=10 ** 9)
+    args = parser.parse_args()
+
+    import jax
+
+    from osu_diffusion_tpu import CONTEXT_SIZE
+    from osu_diffusion_tpu.diffusion import create_diffusion
+    from osu_diffusion_tpu.evals.toy import evaluate_suite
+    from osu_diffusion_tpu.models import DiT_models
+    from osu_diffusion_tpu.sampling import Sampler
+    from osu_diffusion_tpu.train.trainer import TrainConfig, train
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assets = os.path.join(here, "assets", "toy_datasets")
+    num_classes = build_dataset(args.data_dir, assets)
+    n_tracks = len(glob(os.path.join(args.data_dir, "Track*")))
+    print(f"dataset: {num_classes} fixtures over {n_tracks} tracks", flush=True)
+
+    eval_model = DiT_models[args.model](
+        num_classes=num_classes, context_size=CONTEXT_SIZE
+    )
+    eval_diffusion = create_diffusion(
+        str(args.num_sampling_steps), noise_schedule="squaredcos_cap_v2"
+    )
+    sampler = Sampler(eval_model, eval_diffusion, band=128)
+
+    def run_eval(step: int, ema_params, t_train: float) -> None:
+        rec = {"step": step, "train_s": round(t_train, 1)}
+        t0 = time.time()
+        for suite in args.suites:
+            res = evaluate_suite(
+                sampler, ema_params, suite, args.num_predictions, num_classes,
+                None, jax.random.PRNGKey(step),
+            )
+            rec[suite] = round(res["accuracy"], 4)
+        rec["eval_s"] = round(time.time() - t0, 1)
+        with open(args.log, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+    from osu_diffusion_tpu.train.checkpoint import latest_checkpoint
+
+    t_start = time.time()
+    step = 0
+    ckpt = None
+    # resume an interrupted run: newest step of the newest experiment
+    for exp in sorted(glob(os.path.join(args.results_dir, "*", "checkpoints"))):
+        latest = latest_checkpoint(exp)
+        if latest is not None:
+            ckpt = latest
+    while step < args.total_steps:
+        target = min(step + args.chunk, args.total_steps)
+        cfg = TrainConfig(
+            data_path=args.data_dir,
+            num_classes=num_classes,
+            data_start=0,
+            data_end=n_tracks,
+            results_dir=args.results_dir,
+            model=args.model,
+            epochs=10 ** 9,
+            global_batch_size=args.batch,
+            seq_len=128,
+            stride=16,
+            num_workers=2,
+            log_every=1000,
+            ckpt_every=args.chunk,
+            ckpt=ckpt,
+            max_steps=target,
+            steps_per_call=args.steps_per_call,
+            class_dropout_prob=0.2,
+        )
+        t0 = time.time()
+        out = train(cfg)
+        step = out["final_step"]
+        ckpt = latest_checkpoint(os.path.join(out["experiment_dir"], "checkpoints"))
+        run_eval(step, out["state"].ema_params, time.time() - t0)
+        if time.time() - t_start > args.wall_limit_s:
+            print("wall limit reached", flush=True)
+            break
+    print("longrun done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
