@@ -63,6 +63,9 @@ def build_sample_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num-variants", type=int, default=1)
     parser.add_argument("--refine-ckpt", type=str, default=None)
     parser.add_argument("--refine-iters", type=int, default=10)
+    parser.add_argument("--compute-dtype", choices=["f32", "bf16"], default="f32",
+                        help="model-stream dtype: f32 preserves reference "
+                             "output parity; bf16 is faster serving")
     parser.add_argument("--results-dir", type=str, default="results")
     _bool_flag(parser, "make-animation", False)
     _bool_flag(parser, "use-pallas", True)
@@ -144,6 +147,7 @@ def sample_main(args) -> list[str]:
     sampler = Sampler(
         model, diffusion, cfg_scale=args.cfg_scale, band=args.seq_len,
         use_pallas=args.use_pallas, method=args.sampling_method,
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32,
     )
 
     n = len(class_labels)

@@ -131,8 +131,15 @@ class FirstLayer(nn.Module):
     frequency_embedding_size: int = 128
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, o: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-        # sincos tables in f32 for precision, stream dtype from there on
+    def __call__(
+        self, x: jnp.ndarray, o: jnp.ndarray, c: jnp.ndarray, dtype=None
+    ) -> jnp.ndarray:
+        # Inputs must arrive at FULL precision: positions/offsets feed
+        # high-frequency sincos tables, and quantizing them first (e.g. a bf16
+        # input cast: ~2 px position error, up to ~512 ms at offset 1e5)
+        # scrambles the top frequency bands. The sincos computes in f32 and
+        # only the RESULT drops to the stream dtype.
+        dtype = dtype or x.dtype
         x_freq = position_sequence_embedding(
             x.astype(jnp.float32) * PLAYFIELD, self.frequency_embedding_size
         )
@@ -140,11 +147,11 @@ class FirstLayer(nn.Module):
             o.astype(jnp.float32) / 10.0, self.frequency_embedding_size
         )
         xoc = jnp.concatenate(
-            [x_freq.astype(x.dtype), o_freq.astype(x.dtype), c.astype(x.dtype)],
+            [x_freq.astype(dtype), o_freq.astype(dtype), c.astype(dtype)],
             axis=-1,
         )
         return nn.Dense(
-            self.hidden_size, kernel_init=normal02, name="proj", dtype=x.dtype
+            self.hidden_size, kernel_init=normal02, name="proj", dtype=dtype
         )(xoc)
 
 
@@ -349,9 +356,13 @@ class DiT(nn.Module):
         force_drop_ids: jnp.ndarray | None = None,
         cp_mesh=None,
         cp_axis: str = "model",
+        dtype=None,
     ) -> jnp.ndarray:
+        """`dtype`: residual-stream computation dtype (bf16 for training and
+        fast serving). Inputs x/o/c stay full-precision — FirstLayer's sincos
+        embeddings need them — and the stream drops to `dtype` after."""
         cfg = self.config
-        x = FirstLayer(cfg.hidden_size, name="xoc_embedder")(x, o, c)
+        x = FirstLayer(cfg.hidden_size, name="xoc_embedder")(x, o, c, dtype=dtype)
         t_emb = TimestepEmbedder(cfg.hidden_size, name="t_embedder")(t)
         y_emb = LabelEmbedder(
             cfg.num_classes, cfg.hidden_size, cfg.class_dropout_prob, name="y_embedder"
@@ -412,6 +423,7 @@ class DiT(nn.Module):
         valid_len: int | None = None,
         cp_mesh=None,
         cp_axis: str = "model",
+        dtype=None,
     ) -> jnp.ndarray:
         """Classifier-free-guidance batched forward. Parity: models.py:327-343.
 
@@ -425,7 +437,7 @@ class DiT(nn.Module):
         model_out = self.__call__(
             combined, t, o, c, y, train=False,
             attn_mask=attn_mask, band=band, use_pallas=use_pallas,
-            valid_len=valid_len, cp_mesh=cp_mesh, cp_axis=cp_axis,
+            valid_len=valid_len, cp_mesh=cp_mesh, cp_axis=cp_axis, dtype=dtype,
         )
         eps, rest = (
             model_out[..., : cfg.in_channels],

@@ -105,16 +105,20 @@ def make_train_step(
 
         def loss_fn(params):
             def model_fn(xt, tt, **kw):
+                # inputs stay f32 (positions/offsets feed high-frequency
+                # sincos embeddings — quantizing them to bf16 first loses
+                # ~2 px / ~512 ms); the residual stream runs in compute_dtype
                 out = model.apply(
                     {"params": params},
-                    xt.astype(compute_dtype),
+                    xt,
                     tt,
-                    o.astype(compute_dtype),
-                    c.astype(compute_dtype),
+                    o,
+                    c,
                     y,
                     train=True,
                     band=band,
                     use_pallas=use_pallas,
+                    dtype=compute_dtype,
                     rngs={"label_dropout": drop_rng},
                 )
                 return out.astype(jnp.float32)

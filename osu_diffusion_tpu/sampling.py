@@ -56,11 +56,18 @@ class Sampler:
         method: str = "ancestral",  # or "ddim"
         cp_mesh=None,
         cp_axis: str = "model",
+        compute_dtype=jnp.float32,
     ):
         """`cp_mesh`/`cp_axis`: context parallelism — shard the sequence over
         the mesh axis for lengths beyond one chip (parallel/context.py).
         Requires `band`; the length bucket is raised to axis_size * 128 so
-        every compiled shape divides evenly across shards."""
+        every compiled shape divides evenly across shards.
+
+        `compute_dtype`: model-stream dtype. f32 (default) preserves exact
+        output parity with the reference harness; bf16 halves activation
+        traffic for faster serving (the diffusion chain itself — coefficient
+        math, clamping, noise — always runs f32; only the DiT forward drops
+        precision, and its head returns f32 either way)."""
         self.model = model
         self.diffusion = diffusion
         self.cfg_scale = float(cfg_scale)
@@ -73,6 +80,7 @@ class Sampler:
             bucket = max(bucket, cp_mesh.shape[cp_axis] * 128)
         self.bucket = bucket
         self.clip_denoised = clip_denoised
+        self.compute_dtype = compute_dtype
         if method not in ("ancestral", "ddim"):
             raise ValueError(f"unknown sampling method: {method}")
         self.method = method
@@ -100,8 +108,12 @@ class Sampler:
             if valid_len is not None:
                 mask = mask & (jnp.arange(t_pad)[None, :] < valid_len)
 
+        dtype = self.compute_dtype
+
         def sample(params, z, o, c, y, rng, known_x, known_mask):
             def model_fn(x, t, **kw):
+                # x/o/c stay f32 into the model (sincos precision); only the
+                # residual stream runs in compute_dtype
                 kwargs = dict(
                     attn_mask=mask,
                     band=band if (use_pallas or cp) else None,
@@ -109,12 +121,14 @@ class Sampler:
                     valid_len=valid_len,
                     cp_mesh=self.cp_mesh,
                     cp_axis=self.cp_axis,
+                    dtype=dtype,
                 )
                 if use_cfg:
                     kwargs.update(
                         cfg_scale=self.cfg_scale, method=DiT.forward_with_cfg
                     )
-                return self.model.apply({"params": params}, x, t, o, c, y, **kwargs)
+                out = self.model.apply({"params": params}, x, t, o, c, y, **kwargs)
+                return out.astype(jnp.float32)
 
             denoised_fn = None
             if inpaint:

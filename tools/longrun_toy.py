@@ -48,6 +48,8 @@ def main() -> None:
     parser.add_argument("--chunk", type=int, default=25_000)
     parser.add_argument("--model", type=str, default="DiT-S")
     parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--seq-len", type=int, default=32)
+    parser.add_argument("--stride", type=int, default=8)
     parser.add_argument("--steps-per-call", type=int, default=32)
     parser.add_argument("--num-predictions", type=int, default=100)
     parser.add_argument("--num-sampling-steps", type=int, default=1000)
@@ -86,9 +88,12 @@ def main() -> None:
         rec = {"step": step, "train_s": round(t_train, 1)}
         t0 = time.time()
         for suite in args.suites:
+            # seq_len pinned to the reference protocol (test_toy pads every
+            # example to seq_len with filler, SURVEY §3.4) — also one compiled
+            # chain shape for all fixtures instead of one per unique length
             res = evaluate_suite(
                 sampler, ema_params, suite, args.num_predictions, num_classes,
-                None, jax.random.PRNGKey(step),
+                128, jax.random.PRNGKey(step),
             )
             rec[suite] = round(res["accuracy"], 4)
         rec["eval_s"] = round(time.time() - t0, 1)
@@ -117,8 +122,12 @@ def main() -> None:
             model=args.model,
             epochs=10 ** 9,
             global_batch_size=args.batch,
-            seq_len=128,
-            stride=16,
+            # toy fixtures are SHORTER than the standard 128 window; at
+            # seq_len 128 only the filler map yields windows and drop_last
+            # discards every partial batch -> empty epochs. 32/8 matches the
+            # round-1 learning-sanity setup.
+            seq_len=args.seq_len,
+            stride=args.stride,
             num_workers=2,
             log_every=1000,
             ckpt_every=args.chunk,
