@@ -44,8 +44,10 @@ def tiny_ckpt(tiny_registry, tmp_path):
     return path
 
 
-@pytest.mark.parametrize("method", ["ancestral", "ddim"])
-def test_sample_cli_end_to_end(tiny_registry, tiny_ckpt, tmp_path, method):
+@pytest.mark.parametrize("method,dtype", [
+    ("ancestral", "f32"), ("ddim", "f32"), ("ancestral", "bf16"),
+])
+def test_sample_cli_end_to_end(tiny_registry, tiny_ckpt, tmp_path, method, dtype):
     from osu_diffusion_tpu.cli import build_sample_parser, sample_main
 
     # a short fixture keeps the chain fast on CPU
@@ -58,6 +60,7 @@ def test_sample_cli_end_to_end(tiny_registry, tiny_ckpt, tmp_path, method):
         "--num-sampling-steps", "3",
         "--results-dir", results,
         "--sampling-method", method,
+        "--compute-dtype", dtype,
         "--no-use-pallas",
     ])
     written = sample_main(args)
