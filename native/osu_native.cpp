@@ -18,6 +18,7 @@
 #include <algorithm>
 #include <cctype>
 #include <cmath>
+#include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -190,9 +191,12 @@ std::vector<Vec2> ApproximateCircularArc(const std::vector<Vec2>& cp) {
   if (2 * r > kCircularArcTolerance) {
     const double raw = std::ceil(
         theta_range / (2 * std::acos(1 - kCircularArcTolerance / r)));
-    n_points = !std::isfinite(raw)
+    // clamp in double BEFORE the int cast: near-collinear points give finite
+    // raw far beyond INT_MAX, and (int)raw would be UB (and diverge from the
+    // Python side's min(32768, int(raw)))
+    n_points = (!std::isfinite(raw) || raw >= kMaxArcPoints)
                    ? kMaxArcPoints
-                   : std::max(2, std::min(kMaxArcPoints, (int)raw));
+                   : std::max(2, (int)raw);
   }
   std::vector<Vec2> out;
   out.reserve(n_points);
@@ -515,7 +519,11 @@ bool ParseBuffer(const char* data, size_t len, Parsed& out) {
     if (!StrictFinite(parts[2], &time_ms) || std::abs(time_ms) > kMaxTimeMs)
       return false;
     if (!StrictInt(parts[3], &type_long)) return false;
-    const int type_bits = static_cast<int>(type_long);
+    // two's-complement truncation to int32 via uint32 — the shared spec with
+    // the Python side (parser.py _int32); a plain long->int narrowing of the
+    // saturated value would be implementation-defined
+    const int type_bits =
+        static_cast<int32_t>(static_cast<uint32_t>(type_long));
     const bool new_combo = type_bits & 4;
     const Vec2 head{x, y};
 

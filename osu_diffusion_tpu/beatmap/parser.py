@@ -27,6 +27,7 @@ decisions and outputs must agree; fuzz-tested in tests/test_parser_fuzz.py):
 from __future__ import annotations
 
 import math
+import re
 from datetime import timedelta
 from pathlib import Path
 
@@ -56,12 +57,44 @@ def _parse_bool(v: str) -> bool:
     return v.strip() in ("1", "true", "True")
 
 
+def _strict_token(s: str) -> str:
+    """Shared numeric-token grammar with the native parser: ASCII only and no
+    underscore separators — Python's float()/int() accept '2_56' and Unicode
+    digits, std::stod/strtol do not, and the two featurizers must admit the
+    same files byte-for-byte."""
+    t = s.strip()
+    if not t or not t.isascii() or "_" in t:
+        raise ValueError(f"bad numeric token: {s!r}")
+    return t
+
+
 def _finite(s: str) -> float:
     """Strict float: full-token parse, finite value (load-bearing fields)."""
-    v = float(s)
+    v = float(_strict_token(s))
     if not math.isfinite(v):
         raise ValueError(f"non-finite value: {s!r}")
     return v
+
+
+_INT_RE = re.compile(r"^[+-]?[0-9]+$")
+_LONG_MAX = 2 ** 63 - 1
+_LONG_MIN = -(2 ** 63)
+
+
+def _strict_int(s: str) -> int:
+    """Strict integer with the native grammar (sign + ASCII digits) and
+    strtol's saturation at the int64 range (Python ints are unbounded)."""
+    t = _strict_token(s)
+    if not _INT_RE.match(t):
+        raise ValueError(f"bad integer token: {s!r}")
+    return min(max(int(t), _LONG_MIN), _LONG_MAX)
+
+
+def _int32(v: int) -> int:
+    """Two's-complement truncation to int32 — the shared, well-defined spec
+    for the hit-object type field on both sides (native casts through
+    uint32_t; relying on C++'s long->int narrowing would be UB/impl-defined)."""
+    return ((v & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
 
 
 def _coord(s: str) -> float:
@@ -185,7 +218,7 @@ def _parse_hit_objects(
             continue
         x, y = _coord(parts[0]), _coord(parts[1])
         time = timedelta(milliseconds=_time_ms(parts[2]))
-        type_bits = int(parts[3])
+        type_bits = _int32(_strict_int(parts[3]))
         hitsound = _int_or(parts[4], 0)  # cosmetic -> tolerant
         new_combo = bool(type_bits & _TYPE_NEW_COMBO)
         combo_skip = (type_bits >> _COMBO_SKIP_SHIFT) & 0b111
@@ -200,7 +233,7 @@ def _parse_hit_objects(
             objs.append(Spinner(pos, time, hitsound, new_combo, combo_skip, end_time))
         elif type_bits & _TYPE_SLIDER:
             curve_spec = parts[5]
-            slides = int(parts[6]) if len(parts) > 6 else 1
+            slides = _strict_int(parts[6]) if len(parts) > 6 else 1
             if slides < 1:
                 raise ValueError(f"slider slide count must be >= 1: {slides}")
             length = _finite(parts[7]) if len(parts) > 7 else 0.0

@@ -232,12 +232,57 @@ def restore_params_any(ckpt_path: str, model) -> dict:
         got = jax.tree_util.tree_structure(restored)
         want = jax.tree_util.tree_structure(abstract)
         if got != want:
+            # checkpoint saved in the other block layout (the trainer defaults
+            # unrolled, the sample CLI defaults scan): convert in-memory
+            converted = convert_block_layout(
+                restored, to_scan=model.config.scan_blocks
+            )
+            if converted is not None and (
+                jax.tree_util.tree_structure(converted) == want
+            ):
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "converted checkpoint block layout to scan_blocks=%s",
+                    model.config.scan_blocks,
+                )
+                return converted
             raise ValueError(
                 f"checkpoint at {ckpt_path} does not match the model's param "
                 f"layout (scan_blocks={model.config.scan_blocks}); "
                 f"restored structure {got} != expected {want}"
             )
     return restored
+
+
+def convert_block_layout(params: dict, to_scan: bool):
+    """Convert a params tree between the unrolled (blocks_N scopes) and the
+    nn.scan (one "blocks" scope, leading depth axis) layouts. Returns None if
+    the tree is not in the opposite layout."""
+    import jax
+    import numpy as np
+
+    has_scan = "blocks" in params
+    has_unrolled = "blocks_0" in params
+    p = dict(params)
+    if to_scan and has_unrolled:
+        depth = 0
+        while f"blocks_{depth}" in p:
+            depth += 1
+        per_block = [p.pop(f"blocks_{i}") for i in range(depth)]
+        p["blocks"] = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs], axis=0), *per_block
+        )
+        return p
+    if not to_scan and has_scan:
+        stacked = p.pop("blocks")
+        depth = np.asarray(
+            jax.tree_util.tree_leaves(stacked)[0]
+        ).shape[0]
+        for i in range(depth):
+            p[f"blocks_{i}"] = jax.tree.map(lambda a: np.asarray(a)[i], stacked)
+        return p
+    return None
 
 
 # ---------------------------------------------------------------------------

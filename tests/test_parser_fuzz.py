@@ -91,7 +91,12 @@ def _format_version(text: str, rng) -> str:
 
 
 def _mangle_numbers(text: str, rng) -> str:
-    repl = rng.choice(["999999999", "-1", "0", "nan", "inf", "1e308", "3.5.7", ""])
+    repl = rng.choice([
+        "999999999", "-1", "0", "nan", "inf", "1e308", "3.5.7", "",
+        # shared token-grammar edges: Python float()/int() would accept the
+        # first three without the strict-token precheck; the last saturates
+        "2_56", "\u0661\u0662\u0663", "+1_0", "18446744073709551616",
+    ])
     lines = text.split("\n")
     for i, l in enumerate(lines):
         if "," in l and rng.random() < 0.15:
@@ -233,3 +238,43 @@ def test_fuzz_pathological_inputs(native):
             native.featurize_text(text)
         except Exception:
             pass
+
+
+def test_token_grammar_agreement(native):
+    """Grammar edges where Python's float()/int() are laxer than strtod/strtol:
+    underscore separators, Unicode digits, and beyond-int64 integers must get
+    the SAME accept/reject decision and identical rows from both parsers."""
+    base = (
+        "osu file format v14\n[TimingPoints]\n0,500,4,1,0,100,1,0\n"
+        "[HitObjects]\n{line}\n"
+    )
+    lines = [
+        "2_56,192,1000,1,0",                      # underscore coordinate
+        "١٢٣,192,1000,1,0",        # unicode digits coordinate
+        "256,192,1_000,1,0",                      # underscore time
+        "256,192,1000,1_,0",                      # underscore type
+        "256,192,1000,18446744073709551616,0",    # 2^64 type: saturate+int32
+        "256,192,1000,4294967297,0",              # 2^32+1 type -> int32 1 = circle
+        "256,192,1000,2,0,B|100:100|200:200,18446744073709551616,50",  # huge slides
+        "256,192,1000,+1,0",                      # explicit sign accepted both
+        "256,192,1000,1,0 ",                      # trailing space
+    ]
+    for line in lines:
+        text = base.format(line=line)
+        py_out = py_ok = None
+        try:
+            py_out = _python_featurize(text)
+            py_ok = True
+        except Exception:
+            py_ok = False
+        try:
+            cc_out = native.featurize_text(text)
+            cc_ok = True
+        except Exception:
+            cc_out, cc_ok = None, False
+        assert py_ok == cc_ok, (line, py_ok, cc_ok)
+        if py_ok and cc_ok:
+            assert cc_out.shape == py_out.shape, line
+            if cc_out.size:
+                np.testing.assert_allclose(cc_out, py_out, rtol=1e-4, atol=2e-3,
+                                           err_msg=line)

@@ -101,3 +101,41 @@ def test_scan_unroll_agrees():
     out1 = scanned.apply({"params": params}, x, t, o, c, y)
     out3 = DiT(cfg_u).apply({"params": params}, x, t, o, c, y)
     np.testing.assert_allclose(np.asarray(out3), np.asarray(out1), rtol=1e-6, atol=1e-6)
+
+
+def test_restore_params_any_converts_block_layout(tmp_path):
+    """An orbax checkpoint saved in one block layout restores into a model of
+    the other (the trainer defaults unrolled, the sample CLI defaults scan)."""
+    import orbax.checkpoint as ocp
+
+    from osu_diffusion_tpu.train.checkpoint import restore_params_any
+
+    x, t, o, c, y = _inputs()
+    unrolled = DiT(_cfg(False))
+    params = unrolled.init(jax.random.PRNGKey(7), x, t, o, c, y)["params"]
+    params = jax.tree.map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.PRNGKey(8), p.shape),
+        params,
+    )
+    path = str(tmp_path / "ckpt" / "0000001")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"ema_params": params})
+
+    scanned = DiT(_cfg(True))
+    restored = restore_params_any(path, scanned)
+    out_scan = scanned.apply({"params": restored}, x, t, o, c, y)
+    out_unrolled = unrolled.apply({"params": params}, x, t, o, c, y)
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_unrolled), rtol=1e-5, atol=1e-5
+    )
+
+    # and the reverse direction: scan checkpoint -> unrolled model
+    path2 = str(tmp_path / "ckpt2" / "0000001")
+    scan_params = restored
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path2, {"ema_params": scan_params})
+    back = restore_params_any(path2, unrolled)
+    out_back = unrolled.apply({"params": back}, x, t, o, c, y)
+    np.testing.assert_allclose(
+        np.asarray(out_back), np.asarray(out_unrolled), rtol=1e-5, atol=1e-5
+    )

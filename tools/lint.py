@@ -51,7 +51,12 @@ def check_file(path: str) -> list[str]:
         if line != line.rstrip():
             problems.append(f"line {i}: trailing whitespace")
         stripped = line.strip()
-        if not stripped.startswith("#") and any(c in line for c in DEBUG_CALLS):
+        # statement-position only (like the AST-based pre-commit hook): a
+        # substring match would flag string literals / comments that merely
+        # mention the calls
+        if any(stripped.startswith(c) for c in DEBUG_CALLS) or stripped in (
+            "import pdb", "import ipdb"
+        ):
             problems.append(f"line {i}: debug statement")
         if line.startswith("\t"):
             problems.append(f"line {i}: tab indentation")

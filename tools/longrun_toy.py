@@ -82,7 +82,10 @@ def main() -> None:
     eval_diffusion = create_diffusion(
         str(args.num_sampling_steps), noise_schedule="squaredcos_cap_v2"
     )
-    sampler = Sampler(eval_model, eval_diffusion, band=128)
+    # band = TRAIN window (the reference's banded-extrapolation rule,
+    # sample.py --seq-len semantics): a model trained on seq_len-long windows
+    # must not attend beyond seq_len neighbors at eval
+    sampler = Sampler(eval_model, eval_diffusion, band=args.seq_len)
 
     def run_eval(step: int, ema_params, t_train: float) -> None:
         rec = {"step": step, "train_s": round(t_train, 1)}
@@ -111,6 +114,9 @@ def main() -> None:
         latest = latest_checkpoint(exp)
         if latest is not None:
             ckpt = latest
+            # chunk targets count from the restored step, else the first
+            # chunk's max_steps is already behind the checkpoint
+            step = int(os.path.basename(latest))
     while step < args.total_steps:
         target = min(step + args.chunk, args.total_steps)
         cfg = TrainConfig(
