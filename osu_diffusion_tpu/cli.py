@@ -64,8 +64,10 @@ def build_sample_parser() -> argparse.ArgumentParser:
     parser.add_argument("--refine-ckpt", type=str, default=None)
     parser.add_argument("--refine-iters", type=int, default=10)
     parser.add_argument("--compute-dtype", choices=["f32", "bf16"], default="f32",
-                        help="model-stream dtype: f32 preserves reference "
-                             "output parity; bf16 is faster serving")
+                        help="model-stream dtype: f32 (default) preserves "
+                             "reference output parity; bf16 halves activation "
+                             "memory (useful at very long T; measured neutral "
+                             "on speed at typical shapes)")
     parser.add_argument("--results-dir", type=str, default="results")
     _bool_flag(parser, "make-animation", False)
     _bool_flag(parser, "use-pallas", True)
