@@ -59,7 +59,30 @@ def main() -> None:
     parser.add_argument("--data-dir", type=str, default="/tmp/longrun_toy_ds")
     parser.add_argument("--log", type=str, default="/tmp/longrun_evals.jsonl")
     parser.add_argument("--wall-limit-s", type=float, default=10 ** 9)
+    parser.add_argument("--resume-from", type=str, default=None,
+                        help="explicit checkpoint to resume from (overrides "
+                             "the newest-experiment auto-scan)")
+    parser.add_argument("--lr-points", type=str, default=None,
+                        help="comma list of step:lr decay points, e.g. "
+                             "'0:1e-4,150000:3e-5,250000:1e-5' — each chunk "
+                             "uses the lr of the last point <= its start step "
+                             "(the reference's lr-override-on-resume flow, "
+                             "train.py:221)")
     args = parser.parse_args()
+
+    lr_points = [(0, 1e-4)]
+    if args.lr_points:
+        lr_points = sorted(
+            (int(p.split(":")[0]), float(p.split(":")[1]))
+            for p in args.lr_points.split(",")
+        )
+
+    def lr_at(step: int) -> float:
+        lr = lr_points[0][1]
+        for s0, v in lr_points:
+            if step >= s0:
+                lr = v
+        return lr
 
     import jax
 
@@ -117,6 +140,9 @@ def main() -> None:
             # chunk targets count from the restored step, else the first
             # chunk's max_steps is already behind the checkpoint
             step = int(os.path.basename(latest))
+    if args.resume_from:
+        ckpt = args.resume_from
+        step = int(os.path.basename(ckpt))
     while step < args.total_steps:
         target = min(step + args.chunk, args.total_steps)
         cfg = TrainConfig(
@@ -141,6 +167,7 @@ def main() -> None:
             max_steps=target,
             steps_per_call=args.steps_per_call,
             class_dropout_prob=0.2,
+            lr=lr_at(step),
         )
         t0 = time.time()
         out = train(cfg)
