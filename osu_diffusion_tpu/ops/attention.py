@@ -86,6 +86,9 @@ def multi_head_attention(
         "ntd,de->nte", x, qkv_kernel.astype(x.dtype),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype) + qkv_bias.astype(x.dtype)
+    # split + per-tensor head transposes; measured FASTER (78.3% vs 73.8%
+    # train MFU) than a fused (n,t,3,H,dh)->(3,n,H,t,dh) transpose, which
+    # forces a worse intermediate layout
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(a):
