@@ -376,20 +376,29 @@ def get_cached_data_loader(
         cached = pickle.load(f)
     dataset = CachedDataset(cached)
 
-    def iterate():
-        order = list(range(len(dataset)))
-        if shuffle:
-            (random.Random(seed) if seed is not None else random).shuffle(order)
-        batch = []
-        for i in order:
-            batch.append(dataset[i])
-            if len(batch) == batch_size:
-                yield _collate(batch)
-                batch = []
-        if batch and not drop_last:
-            yield _collate(batch)
+    class _CachedLoader:
+        """Re-iterable (a fresh pass per epoch, like torch's DataLoader —
+        returning the generator directly would silently yield zero batches
+        from the second epoch on)."""
 
-    return iterate()
+        def __iter__(self):
+            order = list(range(len(dataset)))
+            if shuffle:
+                (random.Random(seed) if seed is not None else random).shuffle(order)
+            batch = []
+            for i in order:
+                batch.append(dataset[i])
+                if len(batch) == batch_size:
+                    yield _collate(batch)
+                    batch = []
+            if batch and not drop_last:
+                yield _collate(batch)
+
+        def __len__(self):
+            n = len(dataset)
+            return n // batch_size if drop_last else -(-n // batch_size)
+
+    return _CachedLoader()
 
 
 # ---------------------------------------------------------------------------
@@ -459,10 +468,28 @@ class DataLoader:
         )
         self._shards: list[BeatmapDataset] = []
         if self.num_workers > 0:
-            per_worker = int(math.ceil((end - start) / float(self.num_workers)))
+            # an explicit beatmap_files list shards BY FILE — building the
+            # worker shards from the [start, end) range alone would silently
+            # train on the whole unfiltered Track tree (parity with the
+            # reference worker_init_fn, which re-shards whatever the dataset
+            # iterates, data_loading.py:366-376)
+            if beatmap_files is not None:
+                per_worker = int(
+                    math.ceil(len(beatmap_files) / float(self.num_workers))
+                )
+                file_shards = [
+                    beatmap_files[w * per_worker : (w + 1) * per_worker]
+                    for w in range(self.num_workers)
+                ]
+            else:
+                per_worker = int(math.ceil((end - start) / float(self.num_workers)))
+                file_shards = [None] * self.num_workers
             for w in range(self.num_workers):
-                ws = start + w * per_worker
-                we = min(ws + per_worker, end)
+                if beatmap_files is None:
+                    ws = start + w * per_worker
+                    we = min(ws + per_worker, end)
+                else:
+                    ws, we = start, end
                 self._shards.append(
                     BeatmapDataset(
                         dataset_path=dataset_path,
@@ -471,7 +498,7 @@ class DataLoader:
                         iterable_factory=iterable_factory,
                         cycle_length=cycle_length,
                         shuffle=shuffle,
-                        beatmap_files=None,
+                        beatmap_files=file_shards[w],
                         seed=None if seed is None else seed + w,
                     )
                 )
@@ -500,21 +527,40 @@ class DataLoader:
                 yield item
         finally:
             stop_ev.set()
-            # drain so producer threads unblock
-            while not out_q.empty():
-                try:
-                    out_q.get_nowait()
-                except queue.Empty:
-                    break
+            # drain until every producer exits: a single drain pass is not
+            # enough — a blocked producer refills the bounded queue and would
+            # leak the thread (and its parsed sequences) for the process
+            # lifetime on early consumer exit
+            for t in threads:
+                while t.is_alive():
+                    try:
+                        out_q.get(timeout=0.05)
+                    except queue.Empty:
+                        pass
+                t.join()
 
     def _thread_main(self, shard, out_q, stop_ev):
         try:
             for batch in _batch_iter(shard, self.batch_size, self.drop_last):
                 if stop_ev.is_set():
                     break
-                out_q.put(batch)
+                # bounded put that aborts when the consumer is gone
+                while not stop_ev.is_set():
+                    try:
+                        out_q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         finally:
-            out_q.put(None)
+            # the sentinel must be DELIVERED on normal completion (the running
+            # consumer counts them) but must never block after stop (the
+            # consumer then drains by thread liveness instead)
+            while not stop_ev.is_set():
+                try:
+                    out_q.put(None, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
 
 def get_data_loader(

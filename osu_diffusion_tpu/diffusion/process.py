@@ -424,9 +424,7 @@ class GaussianDiffusion:
         if cond_fn is not None:
             out = self.condition_score(cond_fn, out, x, t, model_kwargs)
         nd = x.ndim
-        eps = (
-            _extract(self.sqrt_recip_alphas_cumprod, t, nd) * x - out["pred_xstart"]
-        ) / _extract(self.sqrt_recipm1_alphas_cumprod, t, nd)
+        eps = self._predict_eps_from_xstart(x, t, out["pred_xstart"])
         alpha_bar_next = _extract(self.alphas_cumprod_next, t, nd)
         mean_pred = (
             out["pred_xstart"] * jnp.sqrt(alpha_bar_next)
@@ -629,12 +627,18 @@ def _build(betas: np.ndarray, timestep_map: np.ndarray, original_num_steps: int,
     alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
     alphas_cumprod_next = np.append(alphas_cumprod[1:], 0.0)
     posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
-    posterior_log_variance_clipped = (
-        np.log(np.append(posterior_variance[1], posterior_variance[1:]))
-        if len(posterior_variance) > 1
-        else np.array([])
-    )
-    fixed_large_variance = np.append(posterior_variance[1], betas[1:])
+    if len(posterior_variance) > 1:
+        posterior_log_variance_clipped = np.log(
+            np.append(posterior_variance[1], posterior_variance[1:])
+        )
+        fixed_large_variance = np.append(posterior_variance[1], betas[1:])
+    else:
+        # 1-step chain (e.g. timestep_respacing="1"/"ddim1"): posterior
+        # variance at t=0 is exactly 0 and there is no index 1 to borrow the
+        # clip value from; the single step adds no noise either way, so use
+        # beta for the log-clipped table instead of indexing out of bounds
+        posterior_log_variance_clipped = np.log(betas)
+        fixed_large_variance = betas.copy()
 
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     return GaussianDiffusion(

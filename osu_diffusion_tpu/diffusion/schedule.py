@@ -83,11 +83,13 @@ def space_timesteps(num_timesteps: int, section_counts) -> set[int]:
     if isinstance(section_counts, str):
         if section_counts.startswith("ddim"):
             desired_count = int(section_counts[len("ddim"):])
-            for i in range(1, num_timesteps):
+            # stride may equal num_timesteps ("ddim1" keeps one step); the
+            # reference's range(1, num_timesteps) excludes it (respace.py:27)
+            for i in range(1, num_timesteps + 1):
                 if len(range(0, num_timesteps, i)) == desired_count:
                     return set(range(0, num_timesteps, i))
             raise ValueError(
-                f"cannot create exactly {num_timesteps} steps with an integer stride",
+                f"cannot create exactly {desired_count} steps with an integer stride",
             )
         section_counts = [int(x) for x in section_counts.split(",")]
     size_per = num_timesteps // len(section_counts)

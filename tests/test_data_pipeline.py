@@ -250,3 +250,97 @@ def test_loader_skips_unparseable_files(tmp_path):
     )
     labels = {label for _, label in it}
     assert labels == {1, 3}  # both good files yielded, bad one skipped
+
+
+def _toy_tracks(tmp_path, n_tracks=2, per_track=2):
+    import shutil
+
+    src = sorted(
+        __import__("glob").glob(
+            os.path.join(os.path.dirname(__file__), "..", "assets",
+                         "toy_datasets", "stream", "*.osu")
+        )
+    )
+    i = 0
+    files = []
+    for tr in range(n_tracks):
+        d = tmp_path / f"Track{tr:05d}" / "beatmaps"
+        d.mkdir(parents=True)
+        for _ in range(per_track):
+            dst = d / f"{i:06d} map.osu"
+            shutil.copy(src[i % len(src)], dst)
+            files.append(str(dst))
+            i += 1
+    return files
+
+
+def test_loader_respects_beatmap_files_with_workers(tmp_path):
+    """An explicit beatmap_files subset must constrain MULTI-WORKER loading
+    too (the worker shards previously fell back to the whole Track tree)."""
+    from osu_diffusion_tpu.data.dataset import (
+        BeatmapDatasetIterableFactory,
+        get_data_loader,
+    )
+
+    files = _toy_tracks(tmp_path, n_tracks=2, per_track=3)
+    subset = files[:2]  # only the first two maps
+
+    def labels_of(num_workers):
+        loader = get_data_loader(
+            dataset_path=str(tmp_path), start=0, end=2,
+            iterable_factory=BeatmapDatasetIterableFactory(4, 2, seed=0),
+            cycle_length=1, batch_size=1, num_workers=num_workers,
+            shuffle=False, drop_last=False, beatmap_files=subset, seed=0,
+        )
+        out = set()
+        for _, y in loader:
+            out.update(int(v) for v in y)
+        return out
+
+    assert labels_of(0) == labels_of(2) == {0, 1}
+
+
+def test_loader_early_exit_leaves_no_threads(tmp_path):
+    """Breaking out of a multi-worker epoch must not leak producer threads."""
+    import threading
+    import time
+
+    from osu_diffusion_tpu.data.dataset import (
+        BeatmapDatasetIterableFactory,
+        get_data_loader,
+    )
+
+    _toy_tracks(tmp_path, n_tracks=2, per_track=3)
+    loader = get_data_loader(
+        dataset_path=str(tmp_path), start=0, end=2,
+        iterable_factory=BeatmapDatasetIterableFactory(4, 2, seed=0),
+        cycle_length=2, batch_size=1, num_workers=2,
+        shuffle=False, drop_last=False, seed=0,
+    )
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # early exit mid-epoch
+    time.sleep(0.5)
+    assert threading.active_count() <= before
+
+
+def test_cached_loader_is_reiterable(tmp_path):
+    """The cached loader must yield the same batches on every pass (torch
+    DataLoader semantics), not exhaust after the first epoch."""
+    from osu_diffusion_tpu.data.dataset import (
+        BeatmapDatasetIterableFactory,
+        cache_dataset,
+        get_cached_data_loader,
+    )
+
+    _toy_tracks(tmp_path, n_tracks=1, per_track=2)
+    cache_path = str(tmp_path / "cache.pkl")
+    cache_dataset(
+        cache_path, dataset_path=str(tmp_path), start=0, end=1,
+        iterable_factory=BeatmapDatasetIterableFactory(4, 2, seed=0),
+    )
+    loader = get_cached_data_loader(cache_path, batch_size=2)
+    n1 = sum(1 for _ in loader)
+    n2 = sum(1 for _ in loader)
+    assert n1 == n2 > 0

@@ -94,3 +94,25 @@ def test_kl_loss_type():
     terms = d.training_losses(_zero_eps_model, x0, jnp.array([5, 500]), noise)
     assert terms["loss"].shape == (2,)
     assert np.isfinite(np.asarray(terms["loss"])).all()
+
+
+def test_one_step_chain_builds_and_samples():
+    """timestep_respacing="1"/"ddim1" (single-step chains) must build without
+    indexing past the 1-element coefficient arrays and sample finite values."""
+    import jax
+    import jax.numpy as jnp
+
+    from osu_diffusion_tpu.diffusion import create_diffusion
+
+    for spacing in ("1", "ddim1"):
+        d = create_diffusion(spacing)
+        assert d.num_timesteps == 1
+        n, t_len = 2, 8
+
+        def model_fn(x, t, **kw):
+            return jnp.concatenate([jnp.zeros_like(x), jnp.zeros_like(x)], -1)
+
+        out = d.p_sample_loop(
+            model_fn, (n, t_len, 2), jax.random.PRNGKey(0), clip_denoised=True
+        )
+        assert bool(jnp.all(jnp.isfinite(out))), spacing
