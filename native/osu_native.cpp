@@ -571,6 +571,11 @@ bool ParseBuffer(const char* data, size_t len, Parsed& out) {
         continue;
       }
 
+      // unknown curve kinds REJECT the file (shared spec: the Python side's
+      // Curve.from_kind_and_points raises, objects.py:79-82 — silently
+      // defaulting to bezier here would admit different training files on
+      // machines with/without the native library)
+      if (kind != "B" && kind != "L" && kind != "C" && kind != "P") return false;
       PathType ptype = PathType::kBezier;
       bool degraded_perfect = false;
       if (kind == "L")

@@ -297,6 +297,14 @@ def _parse_hit_objects(
     return objs
 
 
+# NOTE: featurization resolves timing lookups by LAST-IN-FILE-ORDER among
+# points with offset <= t — the same convention as the native featurizer
+# (osu_native.cpp BeatLengthAt/SvMultiplierAt), which the differential fuzz
+# suite enforces. Beatmap.timing_point_at (the export layer) breaks ties by
+# max offset instead; the two differ only for files whose timing points are
+# out of order (the slider package sorts on parse). Unifying all layers on
+# sorted-by-offset is a candidate for a future round; it must change the
+# native parser in lockstep.
 def _uninherited_at(points: list[TimingPoint], time: timedelta) -> TimingPoint | None:
     candidate = None
     for tp in points:
@@ -325,7 +333,10 @@ def parse_beatmap_file(path) -> Beatmap:
 
 
 def parse_beatmap(text: str) -> Beatmap:
-    first_line = text.lstrip("﻿").splitlines()[0] if text else ""
+    # BOM-only text has no lines after the lstrip; treat it like empty input
+    # (the native parser accepts it with zero rows) instead of IndexError
+    lines = text.lstrip("﻿").splitlines()
+    first_line = lines[0] if lines else ""
     format_version = 14
     if "osu file format v" in first_line:
         try:

@@ -10,6 +10,7 @@ as one lax.scan; predictions are batched.
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -25,6 +26,37 @@ from osu_diffusion_tpu.models.dit import DiT
 from osu_diffusion_tpu.ops.attention import banded_attention_mask
 
 PLAYFIELD = np.array([512.0, 384.0], dtype=np.float32)
+
+
+@functools.cache
+def _runner(model: DiT, num_sampling_steps: int):
+    """One jitted repair chain per (model, step count): jit's own shape cache
+    then serves every fixture — previously the scan was re-jitted (and the
+    whole chain recompiled) inside every unfuck_pattern call."""
+
+    @jax.jit
+    def run(diffusion, params, x, o, c, y, attn_mask, mask, rng):
+        def model_fn(xt, tt, **kw):
+            return model.apply({"params": params}, xt, tt, o, c, y,
+                               attn_mask=attn_mask)
+
+        def in_paint(x0):
+            return jnp.where(mask, x0, x)
+
+        t0 = jnp.zeros((x.shape[0],), jnp.int32)
+
+        def body(img, step_rng):
+            out = diffusion.p_sample(
+                model_fn, img, t0, step_rng, clip_denoised=True,
+                denoised_fn=in_paint,
+            )
+            return out["sample"], None
+
+        rngs = jax.random.split(rng, num_sampling_steps)
+        final, _ = jax.lax.scan(body, x, rngs)
+        return final
+
+    return run
 
 
 def example_from_beatmap(
@@ -43,7 +75,10 @@ def example_from_beatmap(
             seq = np.concatenate([filler_add, seq], axis=0)
         elif seq_len < orig_len:
             seq = seq[-seq_len:]
-    return seq, seq.shape[0] - orig_len, seq.shape[0]
+    # trimmed fixtures fill the whole window: the span start must clamp at 0,
+    # not go negative (a negative slice start shrank the span and crashed the
+    # noise broadcast for any fixture longer than seq_len)
+    return seq, max(0, seq.shape[0] - orig_len), seq.shape[0]
 
 
 def fuckup_pattern(
@@ -88,27 +123,8 @@ def unfuck_pattern(
     if seq_len > max_seq_len:
         attn_mask = banded_attention_mask(seq_len, max_seq_len)
 
-    def model_fn(xt, tt, **kw):
-        return model.apply({"params": params}, xt, tt, o, c, y, attn_mask=attn_mask)
-
-    def in_paint(x0):
-        return jnp.where(mask, x0, x)
-
-    t0 = jnp.zeros((n,), jnp.int32)
-
-    @jax.jit
-    def run(r):
-        def body(img, step_rng):
-            out = diffusion.p_sample(
-                model_fn, img, t0, step_rng, clip_denoised=True, denoised_fn=in_paint
-            )
-            return out["sample"], None
-
-        rngs = jax.random.split(r, num_sampling_steps)
-        final, _ = jax.lax.scan(body, x, rngs)
-        return final
-
-    img = run(rng)
+    run = _runner(model, num_sampling_steps)
+    img = run(diffusion, params, x, o, c, y, attn_mask, mask, rng)
     return np.asarray(img[:, start:end, :]) * PLAYFIELD
 
 

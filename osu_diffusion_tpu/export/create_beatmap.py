@@ -64,6 +64,11 @@ def create_beatmap(seq, ref_beatmap: Beatmap, version: str) -> Beatmap:
     curr_object = None
     curr_slider_path: list = []
     curr_slider_type = None
+    # deliberately NOT reset per slider: the reference keeps one running
+    # span_duration across the whole decode (create_beatmap.py:29,100), so a
+    # slider ending in type 14/15 without its own type-10 anchor reuses the
+    # previous slider's span — exact parity quirk (we only add the
+    # span_duration > 0 guard against the reference's division by zero)
     span_duration = 0.0
 
     for j in range(seq_len):

@@ -336,18 +336,29 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
     return os.path.join(ckpt_dir, max(steps, key=int))
 
 
-def save_torch_compatible(path: str, state, args: dict | None = None) -> None:
+def save_torch_compatible(
+    path: str, state, args: dict | None = None,
+    num_label_rows: int | None = None,
+) -> None:
     """Export {model, ema} in the reference torch layout so reference tooling
-    can consume checkpoints trained here."""
+    can consume checkpoints trained here.
+
+    `num_label_rows`: logical label-table rows (num_classes + 1). Pass it so
+    the vocab-parallel padding rows are sliced off — the reference model's
+    strict load rejects a padded (multiple-of-16) table."""
     import torch
 
     torch_sd = {
         k: torch.from_numpy(np.ascontiguousarray(v))
-        for k, v in params_to_torch_state_dict(state.params).items()
+        for k, v in params_to_torch_state_dict(
+            state.params, num_label_rows=num_label_rows
+        ).items()
     }
     torch_ema = {
         k: torch.from_numpy(np.ascontiguousarray(v))
-        for k, v in params_to_torch_state_dict(state.ema_params).items()
+        for k, v in params_to_torch_state_dict(
+            state.ema_params, num_label_rows=num_label_rows
+        ).items()
     }
     torch.save(
         {"model": torch_sd, "ema": torch_ema, "args": args or {}}, path

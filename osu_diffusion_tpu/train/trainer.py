@@ -172,8 +172,14 @@ def train(config: TrainConfig) -> dict:
     # resume (parity train.py:203-221): torch .pt or orbax dir
     if config.ckpt is not None:
         if os.path.isfile(config.ckpt):
-            loaded = ckpt_lib.load_torch_checkpoint(config.ckpt, prefer_ema=False)
-            ema_loaded = ckpt_lib.load_torch_checkpoint(config.ckpt, prefer_ema=True)
+            # the converted tree must match the model's block layout
+            # (scan_blocks stacks per-block tensors under one "blocks" scope)
+            loaded = ckpt_lib.load_torch_checkpoint(
+                config.ckpt, prefer_ema=False, scan_blocks=config.scan_blocks
+            )
+            ema_loaded = ckpt_lib.load_torch_checkpoint(
+                config.ckpt, prefer_ema=True, scan_blocks=config.scan_blocks
+            )
             if config.relearn_embeds:
                 # keep the fresh table (parity train.py:212-217)
                 loaded["y_embedder"] = params["y_embedder"]
@@ -301,12 +307,27 @@ def train(config: TrainConfig) -> dict:
         if config.max_steps is not None and train_steps >= config.max_steps:
             stop = True
 
+    def _to_device(arrs, sharding):
+        if not use_mesh:
+            return arrs
+        if num_processes == 1:
+            return jax.device_put(arrs, sharding)
+        # multi-host: each process holds only ITS rows of the global batch;
+        # device_put of the local array onto the global sharding would shrink
+        # the logical batch by num_processes (or reject non-addressable
+        # devices) — assemble the global array from per-process shards
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                sharding, np.asarray(a)
+            ),
+            arrs,
+        )
+
     def _stack_batches(items):
-        wins = jnp.asarray(np.stack([b[0] for b in items]))
-        prevs = jnp.asarray(np.stack([b[1] for b in items]))
-        ys = jnp.asarray(np.stack([b[2] for b in items]))
-        out = (wins, prevs, ys)
-        return jax.device_put(out, b_shard_multi) if use_mesh else out
+        wins = np.stack([b[0] for b in items])
+        prevs = np.stack([b[1] for b in items])
+        ys = np.stack([b[2] for b in items])
+        return _to_device((wins, prevs, ys), b_shard_multi)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     import contextlib
@@ -323,9 +344,9 @@ def train(config: TrainConfig) -> dict:
             for win, prev_xy, y in buf:
                 if stop:
                     break
-                batch = (jnp.asarray(win), jnp.asarray(prev_xy), jnp.asarray(y))
-                if use_mesh:
-                    batch = jax.device_put(batch, b_shard)
+                batch = _to_device(
+                    (np.asarray(win), np.asarray(prev_xy), np.asarray(y)), b_shard
+                )
                 state, metrics = active_single(state, batch, rng)
                 _after_steps(1, metrics)
             buf.clear()

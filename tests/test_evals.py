@@ -185,3 +185,23 @@ def test_bundled_beatmap_idx_pickle_loads():
     with open(path, "rb") as f:
         idx = pickle.load(f)
     assert len(idx) == 52670  # BASELINE.md dataset scale
+
+
+def test_unfuck_example_longer_than_seq_len():
+    """Fixtures longer than --seq-len are trimmed; the span must clamp at 0
+    (a negative start crashed the noise broadcast)."""
+    import numpy as np
+
+    from osu_diffusion_tpu.beatmap import Beatmap
+    from osu_diffusion_tpu.evals.unfuck import (
+        example_from_beatmap,
+        fuckup_pattern,
+    )
+    from osu_diffusion_tpu.evals.toy import _toy_root, load_filler_seq
+
+    path = os.path.join(_toy_root(), "kimi_no_bouken.osu")  # 757 rows
+    filler = load_filler_seq()
+    seq, start, end = example_from_beatmap(Beatmap.from_path(path), 128, filler)
+    assert seq.shape[0] == 128 and start == 0 and end == 128
+    out = fuckup_pattern(seq, start, end, 5.0, np.random.default_rng(0))
+    assert out.shape == seq.shape

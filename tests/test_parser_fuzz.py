@@ -278,3 +278,43 @@ def test_token_grammar_agreement(native):
             if cc_out.size:
                 np.testing.assert_allclose(cc_out, py_out, rtol=1e-4, atol=2e-3,
                                            err_msg=line)
+
+
+def test_curve_kind_agreement(native):
+    """Unknown/empty slider curve kinds must get the same accept/reject
+    decision from both parsers (the Python side raises via
+    Curve.from_kind_and_points; native must not silently default to bezier)."""
+    base = (
+        "osu file format v14\n[TimingPoints]\n0,500,4,1,0,100,1,0\n"
+        "[HitObjects]\n256,192,1000,2,0,{spec},1,50\n"
+    )
+    for spec, note in [
+        ("B|100:100|200:200", "bezier ok"),
+        ("L|100:100", "linear ok"),
+        ("X|100:100", "unknown kind"),
+        ("|100:100", "empty kind"),
+        ("nan|100:100", "junk kind"),
+    ]:
+        text = base.format(spec=spec)
+        try:
+            _python_featurize(text)
+            py_ok = True
+        except Exception:
+            py_ok = False
+        try:
+            native.featurize_text(text)
+            cc_ok = True
+        except Exception:
+            cc_ok = False
+        assert py_ok == cc_ok, (note, py_ok, cc_ok)
+
+
+def test_bom_only_text_agreement(native):
+    """BOM-only input: both paths must accept with zero hit objects (the
+    Python parser previously crashed with IndexError)."""
+    from osu_diffusion_tpu.beatmap.parser import parse_beatmap
+
+    bm = parse_beatmap("﻿")
+    assert bm.hit_objects() == []
+    out = native.featurize_text("﻿")
+    assert out.shape[0] == 0
