@@ -91,3 +91,28 @@ def test_sample_cli_style_id(tiny_registry, tiny_ckpt, tmp_path):
     ])
     written = sample_main(args)
     assert len(written) == 2  # two style variants
+
+
+def test_sample_cli_refine_pass(tiny_registry, tiny_ckpt, tmp_path):
+    """--refine-ckpt runs the t=0 refine iterations after the main chain and
+    writes a second output (parity sample.py:186-205)."""
+    from osu_diffusion_tpu.cli import build_sample_parser, sample_main
+
+    beatmap = os.path.join(ASSETS, "geometry", "test - geometry (OliBomby) [test0].osu")
+    args = build_sample_parser().parse_args([
+        "--beatmap", beatmap,
+        "--ckpt", tiny_ckpt,
+        "--model", tiny_registry,
+        "--num-sampling-steps", "2",
+        "--refine-ckpt", tiny_ckpt,
+        "--refine-iters", "2",
+        "--results-dir", str(tmp_path / "results"),
+        "--no-use-pallas",
+    ])
+    written = sample_main(args)
+    # main output + refined output
+    assert len(written) == 2
+    from osu_diffusion_tpu.beatmap import Beatmap
+
+    for path in written:
+        assert Beatmap.from_path(path).hit_objects()
