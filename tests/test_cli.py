@@ -116,3 +116,27 @@ def test_sample_cli_refine_pass(tiny_registry, tiny_ckpt, tmp_path):
 
     for path in written:
         assert Beatmap.from_path(path).hit_objects()
+
+
+def test_sample_cli_make_animation(tiny_registry, tiny_ckpt, tmp_path):
+    """--make-animation renders the denoising chain to a GIF via the
+    progressive sampler (parity sample.py:144-172)."""
+    import glob as globmod
+
+    from osu_diffusion_tpu.cli import build_sample_parser, sample_main
+
+    beatmap = os.path.join(ASSETS, "geometry", "test - geometry (OliBomby) [test0].osu")
+    args = build_sample_parser().parse_args([
+        "--beatmap", beatmap,
+        "--ckpt", tiny_ckpt,
+        "--model", tiny_registry,
+        "--num-sampling-steps", "2",
+        "--results-dir", str(tmp_path / "results"),
+        "--make-animation",
+        "--plot-time", "0",
+        "--no-use-pallas",
+    ])
+    written = sample_main(args)
+    assert len(written) == 1
+    gifs = globmod.glob(str(tmp_path / "results" / "*" / "animation.gif"))
+    assert len(gifs) == 1 and os.path.getsize(gifs[0]) > 0
