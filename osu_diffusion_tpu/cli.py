@@ -75,8 +75,8 @@ def build_sample_parser() -> argparse.ArgumentParser:
     # default ON for sampling: runtime is identical to the unrolled layout
     # (1720 vs 1719 steps/s measured) and cold compiles are 10x faster.
     # Training keeps the unrolled default (remat inside scan cannot be CSE'd
-    # away, costing ~24% there). Orbax checkpoints saved with the other layout
-    # fail loudly on restore — pass --no-scan-blocks to match.
+    # away, costing ~24% there). Checkpoints saved with the other block layout
+    # are converted automatically on restore (restore_params_any).
     _bool_flag(parser, "scan-blocks", True)
     # accepted for reference flag parity (sample.py:224); TPU sampling runs
     # fp32 activations with bf16 MXU passes regardless

@@ -379,12 +379,22 @@ def get_cached_data_loader(
     class _CachedLoader:
         """Re-iterable (a fresh pass per epoch, like torch's DataLoader —
         returning the generator directly would silently yield zero batches
-        from the second epoch on)."""
+        from the second epoch on). With a fixed seed the shuffle order still
+        advances across epochs (seed is mixed with a pass counter, like
+        BeatmapDataset._mix_seed) — matching the torch DataLoader semantics
+        where the generator state carries over between epochs."""
+
+        _epoch = 0
 
         def __iter__(self):
             order = list(range(len(dataset)))
             if shuffle:
-                (random.Random(seed) if seed is not None else random).shuffle(order)
+                if seed is not None:
+                    rng = random.Random((seed * 1_000_003 + self._epoch) & 0xFFFFFFFF)
+                    type(self)._epoch += 1
+                else:
+                    rng = random
+                rng.shuffle(order)
             batch = []
             for i in order:
                 batch.append(dataset[i])

@@ -72,21 +72,33 @@ def _adaln_mlp_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(k == 0)
-    def _():
-        o_ref[0] = (
-            x + gate * (partial + b2_ref[0].astype(jnp.float32))
-        ).astype(o_ref.dtype)
-        if mlp_ref is not None:  # training: save the pre-gate MLP output
-            mlp_ref[0] = (partial + b2_ref[0].astype(jnp.float32)).astype(
-                mlp_ref.dtype
-            )
+    if mlp_ref is not None:
+        # training: accumulate the pre-gate MLP output across H-blocks in f32
+        # (mlp_ref is an f32 residual — bf16 partial-sum round-off would feed
+        # dgate and the whole backward), then write the output once from the
+        # finished accumulator at the last block.
+        @pl.when(k == 0)
+        def _():
+            mlp_ref[0] = partial + b2_ref[0].astype(jnp.float32)
 
-    @pl.when(k > 0)
-    def _():
-        o_ref[0] = o_ref[0] + (gate * partial).astype(o_ref.dtype)
-        if mlp_ref is not None:
-            mlp_ref[0] = mlp_ref[0] + partial.astype(mlp_ref.dtype)
+        @pl.when(k > 0)
+        def _():
+            mlp_ref[0] = mlp_ref[0] + partial
+
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            o_ref[0] = (x + gate * mlp_ref[0]).astype(o_ref.dtype)
+    else:
+        # inference: accumulate directly into the output block
+        @pl.when(k == 0)
+        def _():
+            o_ref[0] = (
+                x + gate * (partial + b2_ref[0].astype(jnp.float32))
+            ).astype(o_ref.dtype)
+
+        @pl.when(k > 0)
+        def _():
+            o_ref[0] = o_ref[0] + (gate * partial).astype(o_ref.dtype)
 
 
 def _adaln_mlp_fwd_impl(x, shift, scale, gate, w1, b1, w2, b2,
@@ -115,9 +127,14 @@ def _adaln_mlp_fwd_impl(x, shift, scale, gate, w1, b1, w2, b2,
     out_specs = [xo_spec]
     kernel = functools.partial(_adaln_mlp_kernel, eps=eps, matmul_dtype=matmul_dtype)
     if with_residuals:
+        # pre-gate mlp rides in f32: it is both the cross-H-block accumulator
+        # and a backward residual (dgate, dmlp), and it is small — (N, T, D)
+        # next to the (N, T, H) pre-GELU `a`, which stays in x.dtype (bf16 in
+        # training; GELU' from bf16-rounded `a` is a documented precision
+        # tradeoff worth the 4x memory).
         out_shape += [
             jax.ShapeDtypeStruct((n, t_pad, hdim), x.dtype),  # pre-GELU a
-            jax.ShapeDtypeStruct((n, t_pad, d), x.dtype),     # pre-gate mlp
+            jax.ShapeDtypeStruct((n, t_pad, d), jnp.float32),  # pre-gate mlp
         ]
         out_specs += [
             pl.BlockSpec((1, block_t, block_h), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM),

@@ -77,7 +77,13 @@ class Sampler:
         self.cp_axis = cp_axis
         if cp_mesh is not None:
             assert band is not None, "context parallelism requires a band"
-            bucket = max(bucket, cp_mesh.shape[cp_axis] * 128)
+            # round UP to a multiple of axis_size * 128 (not just a lower
+            # bound): every compiled shape must divide evenly across shards,
+            # e.g. a user bucket of 384 with 2 shards would otherwise pass
+            # here and trip the trace-time divisibility check in
+            # context_parallel_banded_attention
+            step = cp_mesh.shape[cp_axis] * 128
+            bucket = -(-max(bucket, 1) // step) * step
         self.bucket = bucket
         self.clip_denoised = clip_denoised
         self.compute_dtype = compute_dtype
