@@ -135,6 +135,63 @@ def mean_distance_to_group(
     )
 
 
+def group_uniqueness(
+    embedding_table: np.ndarray, group_indices: np.ndarray
+) -> np.ndarray:
+    """Per-GROUP-MEMBER mean distance to the whole table — the reference's
+    axis-0 mean (find_unique_beatmaps.py:30: np.mean(cdist(table, query), 0)).
+    The members with the largest values are the mapper's most unusual maps."""
+    import scipy.spatial.distance
+
+    return np.mean(
+        scipy.spatial.distance.cdist(embedding_table[group_indices], embedding_table),
+        axis=1,
+    )
+
+
+# -- dataframe-backed group selection (reference beatmap_df.pkl + omdb tags) --
+
+
+def load_tagged_dataframe(beatmap_df_path: str, tags_csv: str | None = None):
+    """beatmap_df.pkl (evals/tooling.py `dataframe` layout, same columns as
+    reference create_beatmap_dataframe.py), optionally left-merged with the
+    omdb tag CSV exactly as embedding_svm.py:64-66 does: csv rows are
+    (BeatmapID, tag), aggregated to a list per beatmap in column "omdb"."""
+    import pandas as pd
+
+    df = pd.read_pickle(beatmap_df_path)
+    if tags_csv is not None:
+        tags_df = (
+            pd.read_csv(tags_csv, names=["BeatmapID", "omdb"])
+            .groupby(["BeatmapID"])
+            .agg(list)
+        )
+        df = pd.merge(df, tags_df, on="BeatmapID", how="left")
+    return df
+
+
+def maps_by_mapper(df, mapper: str):
+    """Rows mapped by `mapper`: their own uploads plus guest difficulties
+    naming them, minus other mappers' possessive difficulties. Parity with the
+    regex filter of find_unique_beatmaps.py:7-13 / embedding_svm.py:7-9 (the
+    two reference scripts target different dataframe vintages — Creator/
+    Version vs Source/Difficulty; this dataframe's difficulty-name column is
+    "Difficulty")."""
+    regex = (
+        f"(?!\\s?(de\\s)?(it|that|{mapper}))"
+        "(((^|[^\\S\r\n])(\\S)*([sz]'|'s))|((^|[^\\S\r\n])de\\s(\\S)*))"
+    )
+    return df[
+        ((df["Creator"] == mapper) | df["Difficulty"].str.contains(mapper))
+        & ~df["Difficulty"].str.contains(regex)
+    ]
+
+
+def maps_by_tag(df, tag: str):
+    """Rows whose omdb tag list contains `tag` (embedding_svm.py:12-13)."""
+    return df[df["omdb"].apply(lambda x: isinstance(x, list) and tag in x)]
+
+
 def print_ckpt(obj, indent: int = 0):
     """Recursive checkpoint structure dump. Parity: print_ckpt.py:4-16."""
     pad = "  " * indent
@@ -176,6 +233,32 @@ def main(argv=None):
     p_print = sub.add_parser("print", help="dump checkpoint structure")
     p_print.add_argument("--ckpt", required=True)
 
+    p_svm = sub.add_parser(
+        "svm", help="linear-SVM style classification over tag or mapper groups"
+    )
+    p_svm.add_argument("--ckpt", required=True)
+    p_svm.add_argument("--beatmap-df", required=True,
+                       help="beatmap_df.pkl (evals/tooling.py `dataframe`)")
+    p_svm.add_argument("--tags-csv", default=None,
+                       help="omdb tag CSV: rows of (BeatmapID, tag)")
+    group = p_svm.add_mutually_exclusive_group(required=True)
+    group.add_argument("--tags", nargs="+",
+                       help="train one class per omdb tag (needs --tags-csv)")
+    group.add_argument("--mappers", nargs="+",
+                       help="train one class per mapper name")
+    p_svm.add_argument("--test-tags", nargs="*", default=[],
+                       help="report per-class accuracy on these tag groups")
+    p_svm.add_argument("--test-mappers", nargs="*", default=[],
+                       help="report per-class accuracy on these mappers' maps")
+
+    p_uniq = sub.add_parser(
+        "unique", help="a mapper's most unusual maps by mean embedding distance"
+    )
+    p_uniq.add_argument("--ckpt", required=True)
+    p_uniq.add_argument("--beatmap-df", required=True)
+    p_uniq.add_argument("--mapper", required=True)
+    p_uniq.add_argument("-k", type=int, default=10)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "tsne":
@@ -195,6 +278,45 @@ def main(argv=None):
         fn = find_nearest if args.nearest else find_similar
         for bid, dist in fn(table, beatmap_idx, args.beatmap_id, args.k):
             print(bid, dist)
+    elif args.cmd == "svm":
+        # Parity: embedding_svm.py:70-107 (get_tags_data/get_mappers_data,
+        # clf.fit, test_positive[_tag] accuracy lines).
+        table = load_embedding_table(args.ckpt)
+        df = load_tagged_dataframe(args.beatmap_df, args.tags_csv)
+        names = args.tags or args.mappers
+        select = maps_by_tag if args.tags else maps_by_mapper
+        if args.tags and args.tags_csv is None:
+            parser.error("--tags requires --tags-csv")
+        groups = [np.asarray(select(df, name).index) for name in names]
+        counts = {k: len(g) for k, g in enumerate(groups)}
+        print(counts)  # class-count line, parity embedding_svm.py:20,27
+        clf = fit_tag_svm(table, groups)
+        tests = [(t, maps_by_tag) for t in (args.test_tags or [])] + [
+            (m, maps_by_mapper) for m in (args.test_mappers or [])
+        ]
+        if not tests:  # default: score the training groups themselves
+            tests = [(n, select) for n in names]
+        for test_name, test_select in tests:
+            idx = np.asarray(test_select(df, test_name).index)
+            scores = [
+                f"{svm_accuracy(clf, table, idx, clas) * 100:.0f}% {tag}"
+                for clas, tag in enumerate(names)
+            ]
+            print(f"{test_name} is {', '.join(scores)}")
+    elif args.cmd == "unique":
+        # Parity: find_unique_beatmaps.py:25-40.
+        table = load_embedding_table(args.ckpt)
+        df = load_tagged_dataframe(args.beatmap_df)
+        maps = maps_by_mapper(df, args.mapper)
+        print(f"Found {len(maps)} beatmaps.")
+        dist = group_uniqueness(table, np.asarray(maps.index))
+        k = min(args.k, len(dist))
+        for x in np.argpartition(dist, -k)[-k:]:
+            print(
+                dist[x],
+                f"{maps.iloc[x]['Title']} [{maps.iloc[x]['Difficulty']}]",
+                maps.iloc[x]["BeatmapID"],
+            )
     elif args.cmd == "print":
         if os.path.isfile(args.ckpt):
             import torch
