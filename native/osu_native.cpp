@@ -507,6 +507,14 @@ bool ParseBuffer(const char* data, size_t len, Parsed& out) {
     }
   }
 
+  // sort-on-parse, in lockstep with the Python parser's _parse_timing_points
+  // (shared robustness spec): stable so equal offsets keep file order. All
+  // layers then agree on the governing timing point for out-of-order files.
+  std::stable_sort(out.timing_points.begin(), out.timing_points.end(),
+                   [](const TimingPoint& a, const TimingPoint& b) {
+                     return a.offset_ms < b.offset_ms;
+                   });
+
   for (const std::string& line : hitobject_lines) {
     auto parts = Split(line, ',');
     if (parts.size() < 5) continue;

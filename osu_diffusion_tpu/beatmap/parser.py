@@ -22,7 +22,10 @@ decisions and outputs must agree; fuzz-tested in tests/test_parser_fuzz.py):
 - cosmetic metadata (Metadata/General/Editor numbers, hitsounds, edge sounds,
   timing-point meter/volume fields) is parsed TOLERANTLY with defaults;
 - bounds: |coordinate| <= 65536, |time| <= 1e9 ms (~11.6 days; also applied to
-  computed slider end times), 0 <= slider length <= 1e7 px, slides >= 1.
+  computed slider end times), 0 <= slider length <= 1e7 px, slides >= 1;
+- timing points are SORTED by offset at parse time (stable: equal offsets keep
+  file order), matching the `slider` package — every layer (featurization,
+  export, native) resolves the same governing point for out-of-order files.
 """
 from __future__ import annotations
 
@@ -161,9 +164,7 @@ def _kv(lines: list[str]) -> dict[str, str]:
 
 
 def _parse_timing_points(lines: list[str]) -> list[TimingPoint]:
-    points: list[TimingPoint] = []
-    last_uninherited: TimingPoint | None = None
-    orphan_parent: TimingPoint | None = None
+    raw: list[tuple] = []
     for line in lines:
         line = line.strip()
         if not line or line.startswith("//"):
@@ -183,6 +184,21 @@ def _parse_timing_points(lines: list[str]) -> list[TimingPoint]:
         volume = _int_or(parts[5] if len(parts) > 5 else None, 100)
         uninherited = _parse_bool(parts[6]) if len(parts) > 6 else beat_length > 0
         kiai = _parse_bool(parts[7]) if len(parts) > 7 else False
+        raw.append((offset, beat_length, meter, sample_type, sample_set,
+                    volume, uninherited, kiai))
+
+    # sort-on-parse (stable: equal offsets keep file order), matching the
+    # `slider` package the reference uses. All downstream layers — the
+    # featurizer's last-in-list-order lookups, Beatmap.timing_point_at, the
+    # native parser (lockstep std::stable_sort) — then agree on the governing
+    # point even for files whose timing sections are out of order.
+    raw.sort(key=lambda r: r[0])
+
+    points: list[TimingPoint] = []
+    last_uninherited: TimingPoint | None = None
+    orphan_parent: TimingPoint | None = None
+    for (offset, beat_length, meter, sample_type, sample_set, volume,
+         uninherited, kiai) in raw:
         if uninherited and beat_length > 0:
             tp = TimingPoint(offset, beat_length, meter, sample_type, sample_set,
                              volume, None, kiai)
@@ -297,14 +313,11 @@ def _parse_hit_objects(
     return objs
 
 
-# NOTE: featurization resolves timing lookups by LAST-IN-FILE-ORDER among
-# points with offset <= t — the same convention as the native featurizer
-# (osu_native.cpp BeatLengthAt/SvMultiplierAt), which the differential fuzz
-# suite enforces. Beatmap.timing_point_at (the export layer) breaks ties by
-# max offset instead; the two differ only for files whose timing points are
-# out of order (the slider package sorts on parse). Unifying all layers on
-# sorted-by-offset is a candidate for a future round; it must change the
-# native parser in lockstep.
+# Timing lookups are last-in-list-order among points with offset <= t. Since
+# timing points are sorted by offset at parse time (in BOTH parsers — see
+# _parse_timing_points and osu_native.cpp), this is identical to
+# Beatmap.timing_point_at's max-offset rule on every beatmap, including
+# files whose timing sections were out of order on disk.
 def _uninherited_at(points: list[TimingPoint], time: timedelta) -> TimingPoint | None:
     candidate = None
     for tp in points:

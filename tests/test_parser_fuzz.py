@@ -318,3 +318,82 @@ def test_bom_only_text_agreement(native):
     assert bm.hit_objects() == []
     out = native.featurize_text("﻿")
     assert out.shape[0] == 0
+
+
+OUT_OF_ORDER_TIMING = """osu file format v14
+
+[General]
+StackLeniency: 0.7
+
+[Difficulty]
+SliderMultiplier:1
+SliderTickRate:1
+
+[TimingPoints]
+0,500,4,2,0,100,1
+2000,400,4,2,0,100,1
+1000,-50,4,2,0,100,0
+
+[HitObjects]
+100,100,2500,2,0,L|200:100,1,100
+"""
+
+
+def test_out_of_order_timing_points_unified(native):
+    """Timing points are sorted by offset at parse time in BOTH parsers, so
+    featurization and the export layer resolve the same governing point even
+    when the file's timing section is out of order (matching the `slider`
+    package's sort-on-parse; this was the round-2 divergence flagged at
+    parser.py:300-307)."""
+    from datetime import timedelta
+
+    bm = parse_beatmap(OUT_OF_ORDER_TIMING)
+    # parsed list is sorted by offset
+    offsets = [tp.offset for tp in bm.timing_points]
+    assert offsets == sorted(offsets)
+
+    # the slider at t=2500 is governed by the RED line at 2000 (SV 1.0, beat
+    # 400ms) under sorted semantics -> span 400ms, end 2900. (File-order-last
+    # would pick the green at 1000 -> SV 2.0 -> end 2700.)
+    py_seq = _python_featurize(OUT_OF_ORDER_TIMING)
+    assert py_seq[-1, 2] == pytest.approx(2900.0)
+    cc_seq = native.featurize_text(OUT_OF_ORDER_TIMING)
+    np.testing.assert_allclose(cc_seq, py_seq, rtol=1e-4, atol=2e-3)
+
+    # the export layer agrees: timing_point_at resolves the same point
+    gov = bm.timing_point_at(timedelta(milliseconds=2500))
+    assert gov.offset == timedelta(milliseconds=2000) and gov.parent is None
+    red = bm.uninherited_timing_point_at(timedelta(milliseconds=2500))
+    assert red.ms_per_beat == pytest.approx(400.0)
+
+
+def test_shuffled_timing_sections_agree(native):
+    """Shuffling a beatmap's [TimingPoints] lines never changes featurization
+    (sort-on-parse), and python/native stay bit-for-bit interchangeable."""
+    rng = random.Random(7)
+    checked = 0
+    for path in SEEDS[:8]:
+        with open(path, encoding="utf-8-sig") as f:
+            text = f.read()
+        lines = text.splitlines()
+        try:
+            start = next(i for i, l in enumerate(lines)
+                         if l.strip() == "[TimingPoints]")
+        except StopIteration:
+            continue
+        end = start + 1
+        while end < len(lines) and not lines[end].strip().startswith("["):
+            end += 1
+        body = [l for l in lines[start + 1:end] if l.strip()]
+        if len(body) < 2:
+            continue
+        baseline = _python_featurize(text)
+        for _ in range(3):
+            rng.shuffle(body)
+            shuffled = "\n".join(lines[:start + 1] + body + lines[end:])
+            py_seq = _python_featurize(shuffled)
+            np.testing.assert_allclose(py_seq, baseline, rtol=1e-4, atol=2e-3)
+            cc_seq = native.featurize_text(shuffled)
+            np.testing.assert_allclose(cc_seq, py_seq, rtol=1e-4, atol=2e-3)
+            checked += 1
+    assert checked >= 3
