@@ -227,8 +227,12 @@ def sample_main(args) -> list[str]:
                 None if args.use_pallas
                 else banded_attention_mask(img.shape[1], args.seq_len)
             )
-            for i in range(args.refine_iters):
-                sample_rng, step_rng = jax.random.split(sample_rng)
+            # the whole refine chain is ONE jitted lax.scan program (a single
+            # device dispatch — the per-iteration Python loop paid the
+            # ~1-2s tunnel dispatch latency refine_iters times; same shape
+            # as evals/unfuck._runner)
+            @jax.jit
+            def refine_chain(params, img, rng):
                 def model_fn(x, t, **kw):
                     return model.apply(
                         {"params": params}, x, t, o, c, y,
@@ -238,10 +242,18 @@ def sample_main(args) -> list[str]:
                         use_pallas=args.use_pallas,
                         method=type(model).forward_with_cfg,
                     )
-                out = diffusion.p_sample(
-                    model_fn, img, t0, step_rng, clip_denoised=True
-                )
-                img = out["sample"]
+
+                def body(im, step_rng):
+                    out = diffusion.p_sample(
+                        model_fn, im, t0, step_rng, clip_denoised=True
+                    )
+                    return out["sample"], None
+
+                rngs = jax.random.split(rng, args.refine_iters)
+                final, _ = jax.lax.scan(body, img, rngs)
+                return final
+
+            img = refine_chain(params, img, sample_rng)
             save_sequence(to_seq(img), args.refine_iters)
 
     return written
