@@ -27,7 +27,10 @@ def repo_root() -> str:
 def python_files(root: str) -> list[str]:
     out = []
     for dirpath, dirnames, filenames in os.walk(root):
-        dirnames[:] = [d for d in dirnames if d not in SKIP_DIRS]
+        # skip hidden dirs too (scratch worktrees, editor/cache dirs)
+        dirnames[:] = [
+            d for d in dirnames if d not in SKIP_DIRS and not d.startswith(".")
+        ]
         out.extend(
             os.path.join(dirpath, f) for f in filenames if f.endswith(".py")
         )
