@@ -182,8 +182,11 @@ def main(argv=None):
     diffusion = create_diffusion(
         str(args.num_sampling_steps), noise_schedule=args.noise_schedule
     )
-    # banded attention only above the trained window (parity test_toy.py:37-42)
-    sampler = Sampler(model, diffusion, band=128)
+    # band follows --seq-len (the trained window), not a hardcoded 128: the
+    # reference masks beyond +-seq_len neighbours whenever the example length
+    # exceeds the window (test_toy.py:37-42). At T <= band this equals full
+    # attention, so the default matches the reference's seq_len-128 protocol.
+    sampler = Sampler(model, diffusion, band=args.seq_len or 128)
     rng = jax.random.PRNGKey(args.seed)
 
     if args.generate is not None:

@@ -24,21 +24,115 @@ from glob import glob
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_dataset(root: str, assets: str) -> int:
+def _kimi_tail(kimi_path: str, min_rows: int):
+    """Smallest suffix of the filler map with >= min_rows datapoints."""
+    import dataclasses
+
+    from osu_diffusion_tpu.beatmap import Beatmap
+    from osu_diffusion_tpu.data.featurize import beatmap_to_sequence
+
+    bm = Beatmap.from_path(kimi_path)
+    objs = bm.hit_objects()
+    k = max(8, min_rows // 2)
+    while True:
+        cand = dataclasses.replace(bm, _hit_objects=objs[-k:])
+        if k >= len(objs) or beatmap_to_sequence(cand).shape[0] >= min_rows:
+            return cand
+        # additive growth keeps the tail tight: extra filler rows dilute the
+        # per-window pattern signal (every padded file shares this tail)
+        k = min(len(objs), k + 16)
+
+
+def _pad_with_filler(fix_bm, tail_bm, gap_ms: float = 300.0):
+    """One beatmap: filler tail, then the fixture time-shifted to start
+    gap_ms after it — the FILE-level analogue of the eval protocol's
+    sequence padding (evals/toy.example_from_beatmap: filler_add rows in
+    front, pattern re-based +300 ms). Both maps keep their own timing
+    points (the fixture's are shifted with its objects), so the fixture's
+    sliders stay governed by their original red/green lines."""
+    import dataclasses
+    from datetime import timedelta
+
+    tail_objs = tail_bm.hit_objects()
+    tail_end = max(
+        max(o.time, getattr(o, "end_time", o.time)) for o in tail_objs
+    )
+    fix_objs = fix_bm.hit_objects()
+    delta = tail_end + timedelta(milliseconds=gap_ms) - fix_objs[0].time
+
+    def shift_obj(o):
+        kw = {"time": o.time + delta}
+        if hasattr(o, "end_time"):
+            kw["end_time"] = o.end_time + delta
+        return dataclasses.replace(o, **kw)
+
+    # The combined file keeps the FIXTURE's SliderMultiplier (its geometry is
+    # the training signal and must stay bit-identical), so the filler tail's
+    # slider velocities are rescaled to preserve its slider durations:
+    # duration = length * beat / (SM * 100 * sv), hence sv' = sv * SMk / SMf
+    # (ms_per_beat_green' = ms_per_beat_green * SMf / SMk), with a companion
+    # green line after each red (which alone implies sv = 1).
+    sm_ratio = fix_bm.slider_multiplier / tail_bm.slider_multiplier
+    tail_tps = []
+    for tp in tail_bm.timing_points:
+        if tp.parent is None:  # red: keep, then pin the sv with a green
+            tail_tps.append(tp)
+            if abs(sm_ratio - 1.0) > 1e-12:
+                tail_tps.append(
+                    dataclasses.replace(
+                        tp, ms_per_beat=-100.0 * sm_ratio, parent=tp
+                    )
+                )
+        else:  # green: rescale the raw negative SV field
+            tail_tps.append(
+                dataclasses.replace(tp, ms_per_beat=tp.ms_per_beat * sm_ratio)
+            )
+    # parent links are rebuilt when the loader re-parses the written file,
+    # so only offsets need shifting here
+    new_tps = tail_tps + [
+        dataclasses.replace(tp, offset=tp.offset + delta)
+        for tp in fix_bm.timing_points
+    ]
+    new_objs = list(tail_objs) + [shift_obj(o) for o in fix_objs]
+    return dataclasses.replace(
+        fix_bm, _hit_objects=new_objs, timing_points=new_tps
+    )
+
+
+def build_dataset(root: str, assets: str, pad_rows: int | None = None) -> int:
     """All 4 suites + filler as TrackNNNNN/beatmaps/NNNNNN files; returns the
-    number of classes (files)."""
+    number of classes (files).
+
+    pad_rows: fixtures shorter than this many datapoints are prepended with a
+    filler (kimi) tail at the FILE level so window-`seq_len` training works at
+    the reference protocol's seq_len 128 (train.py:321) — without it the toy
+    fixtures (4-34 datapoints) yield zero 128-windows and epochs are empty."""
     if os.path.exists(root):
         shutil.rmtree(root)
     suites = ["geometry", "stream", "symmetry", "visual_spacing"]
     files = []
     for s in suites:
         files += sorted(glob(os.path.join(assets, s, "*.osu")))
-    files.append(os.path.join(assets, "kimi_no_bouken.osu"))
+    kimi = os.path.join(assets, "kimi_no_bouken.osu")
+    files.append(kimi)
+    tail_bm = None
+    if pad_rows is not None:
+        from osu_diffusion_tpu.beatmap import Beatmap
+        from osu_diffusion_tpu.beatmap.writer import write_beatmap_file
+        from osu_diffusion_tpu.data.featurize import beatmap_to_sequence
+
+        tail_bm = _kimi_tail(kimi, pad_rows)
     n_tracks = 8
     for i, f in enumerate(files):
         d = os.path.join(root, f"Track{i % n_tracks:05d}", "beatmaps")
         os.makedirs(d, exist_ok=True)
-        shutil.copy(f, os.path.join(d, f"{i:06d} {os.path.basename(f)}"))
+        dest = os.path.join(d, f"{i:06d} {os.path.basename(f)}")
+        if tail_bm is not None and f != kimi:
+            bm = Beatmap.from_path(f)
+            if beatmap_to_sequence(bm).shape[0] < pad_rows:
+                write_beatmap_file(_pad_with_filler(bm, tail_bm), dest)
+                continue
+        shutil.copy(f, dest)
     return len(files)
 
 
@@ -62,6 +156,11 @@ def main() -> None:
     parser.add_argument("--resume-from", type=str, default=None,
                         help="explicit checkpoint to resume from (overrides "
                              "the newest-experiment auto-scan)")
+    parser.add_argument("--pad-rows", type=int, default=None,
+                        help="pad fixtures shorter than this many datapoints "
+                             "with a filler tail at dataset-build time "
+                             "(required for --seq-len 128 training; use e.g. "
+                             "160 so most windows include pattern content)")
     parser.add_argument("--lr-points", type=str, default=None,
                         help="comma list of step:lr decay points, e.g. "
                              "'0:1e-4,150000:3e-5,250000:1e-5' — each chunk "
@@ -95,7 +194,7 @@ def main() -> None:
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     assets = os.path.join(here, "assets", "toy_datasets")
-    num_classes = build_dataset(args.data_dir, assets)
+    num_classes = build_dataset(args.data_dir, assets, pad_rows=args.pad_rows)
     n_tracks = len(glob(os.path.join(args.data_dir, "Track*")))
     print(f"dataset: {num_classes} fixtures over {n_tracks} tracks", flush=True)
 
