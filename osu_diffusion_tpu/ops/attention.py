@@ -113,7 +113,10 @@ def multi_head_attention(
     else:
         if mask is None and band is not None:
             mask = banded_attention_mask(t, band)
-        if valid_len is not None and valid_len != t:
+        if valid_len is not None:
+            # valid_len may be a TRACED scalar (the Sampler passes it as a
+            # runtime argument so one compiled program serves every real
+            # length in a bucket) — no Python comparison against t here
             key_valid = jnp.arange(t)[None, :] < valid_len
             mask = key_valid if mask is None else mask & key_valid
         o = dot_product_attention(q, k, v, mask)

@@ -37,12 +37,15 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _banded_attn_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, band: int, block: int, t_real: int,
+    q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref, *, band: int, block: int,
     scale: float, matmul_dtype, bounds_ref=None,
 ):
     """One (batch*head, q-block) program.
 
     q_ref: (1, B, Dh); k_ref/v_ref: (1, T_pad, Dh); o_ref: (1, B, Dh);
+    valid_ref: (1, 1) SMEM int32 — the real (unpadded) sequence length as a
+    *dynamic* operand, so one compiled program serves every beatmap length in
+    a bucket (keys at index >= valid are masked);
     lse_ref: (1, B, LANE) or None (inference skips it);
     bounds_ref: optional (1, 2) SMEM int32 [k_lo, k_hi) — a *dynamic* valid-key
     range used by the context-parallel halo path, where edge shards must mask
@@ -83,7 +86,7 @@ def _banded_attn_fwd_kernel(
         allowed = (
             (k_idx > q_idx - band)
             & (k_idx <= q_idx + band)
-            & (k_idx < t_real)
+            & (k_idx < valid_ref[0, 0])
             & kb_valid
         )
         if bounds_ref is not None:
@@ -115,14 +118,19 @@ def _pad_bh(a, t_pad):
     )
 
 
+def _smem_scalar_spec():
+    return pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+
+
 def _banded_flash_fwd_impl(
-    q, k, v, band: int, block: int, matmul_dtype, t_real: int | None = None,
+    q, k, v, band: int, block: int, matmul_dtype, t_real=None,
     with_lse: bool = False,
 ):
     n, h, t, dh = q.shape
     # callers that pre-pad T (e.g. Sampler length bucketing) pass the unpadded
-    # length so real queries near the pad boundary don't attend garbage keys
-    t_valid = t if t_real is None else int(t_real)
+    # length so real queries near the pad boundary don't attend garbage keys.
+    # It is a TRACED operand: one compiled program per bucket, any real length.
+    valid = jnp.asarray(t if t_real is None else t_real, jnp.int32).reshape(1, 1)
     t_pad = _cdiv(t, block) * block
     qp, kp, vp = _pad_bh(q, t_pad), _pad_bh(k, t_pad), _pad_bh(v, t_pad)
     scale = 1.0 / (dh ** 0.5)
@@ -138,7 +146,7 @@ def _banded_flash_fwd_impl(
             pl.BlockSpec((1, block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
         )
     kernel = functools.partial(
-        _banded_attn_fwd_kernel, band=band, block=block, t_real=t_valid,
+        _banded_attn_fwd_kernel, band=band, block=block,
         scale=scale, matmul_dtype=matmul_dtype,
     )
     if not with_lse:
@@ -147,9 +155,9 @@ def _banded_flash_fwd_impl(
         kernel,
         out_shape=out_shape,
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, _smem_scalar_spec()],
         out_specs=out_specs,
-    )(qp, kp, vp)
+    )(qp, kp, vp, valid)
     out = outs[0].reshape(n, h, t_pad, dh)[:, :, :t, :]
     if with_lse:
         # keep only the slim (n*h, t_pad) row of the lane-broadcast LSE
@@ -177,11 +185,12 @@ def banded_flash_attention_ranged(
     vp = v.reshape(n * h, t, dh)
     scale = 1.0 / (dh ** 0.5)
     bounds = jnp.stack([k_lo, k_hi]).astype(jnp.int32).reshape(1, 2)
+    valid = jnp.full((1, 1), t, jnp.int32)  # [k_lo, k_hi) already bounds keys
 
-    def kernel(q_ref, k_ref, v_ref, bounds_ref, o_ref):
+    def kernel(q_ref, k_ref, v_ref, bounds_ref, valid_ref, o_ref):
         _banded_attn_fwd_kernel(
-            q_ref, k_ref, v_ref, o_ref, None, band=band, block=block,
-            t_real=t, scale=scale, matmul_dtype=matmul_dtype,
+            q_ref, k_ref, v_ref, valid_ref, o_ref, None, band=band,
+            block=block, scale=scale, matmul_dtype=matmul_dtype,
             bounds_ref=bounds_ref,
         )
 
@@ -194,17 +203,18 @@ def banded_flash_attention_ranged(
             pl.BlockSpec((1, t, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            _smem_scalar_spec(),
         ],
         out_specs=pl.BlockSpec(
             (1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-    )(qp, kp, vp, bounds)
+    )(qp, kp, vp, bounds, valid)
     return out.reshape(n, h, t, dh)
 
 
 def _banded_attn_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, band: int, block: int, t_real: int, scale: float, matmul_dtype,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, valid_ref, dq_ref,
+    *, band: int, block: int, scale: float, matmul_dtype,
 ):
     """dq for one (batch*head, q-block): dq = sum_kb (p*(dp-delta)) @ k * scale.
 
@@ -241,8 +251,8 @@ def _banded_attn_bwd_dq_kernel(
         allowed = (
             (k_idx > q_idx - band)
             & (k_idx <= q_idx + band)
-            & (k_idx < t_real)
-            & (q_idx < t_real)
+            & (k_idx < valid_ref[0, 0])
+            & (q_idx < valid_ref[0, 0])
             & kb_valid
         )
         p = jnp.where(allowed, jnp.exp(s - lse), 0.0)
@@ -259,8 +269,8 @@ def _banded_attn_bwd_dq_kernel(
 
 
 def _banded_attn_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, band: int, block: int, t_real: int, scale: float, matmul_dtype,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, valid_ref, dk_ref, dv_ref,
+    *, band: int, block: int, scale: float, matmul_dtype,
 ):
     """dk/dv for one (batch*head, key-block).
 
@@ -302,8 +312,8 @@ def _banded_attn_bwd_dkv_kernel(
         allowed = (
             (k_idx > q_idx - band)
             & (k_idx <= q_idx + band)
-            & (k_idx < t_real)
-            & (q_idx < t_real)
+            & (k_idx < valid_ref[0, 0])
+            & (q_idx < valid_ref[0, 0])
             & qb_valid
         )
         p = jnp.where(allowed, jnp.exp(s - lse_q), 0.0)
@@ -328,10 +338,10 @@ def _banded_attn_bwd_dkv_kernel(
 
 def _banded_flash_bwd_impl(
     q, k, v, o, lse, g, band: int, block: int, matmul_dtype,
-    t_real: int | None,
+    t_real,
 ):
     n, h, t, dh = q.shape
-    t_valid = t if t_real is None else int(t_real)
+    valid = jnp.asarray(t if t_real is None else t_real, jnp.int32).reshape(1, 1)
     t_pad = _cdiv(t, block) * block
     qp, kp, vp = _pad_bh(q, t_pad), _pad_bh(k, t_pad), _pad_bh(v, t_pad)
     gp = _pad_bh(g, t_pad)
@@ -351,18 +361,19 @@ def _banded_flash_bwd_impl(
 
     dq = pl.pallas_call(
         functools.partial(
-            _banded_attn_bwd_dq_kernel, band=band, block=block, t_real=t_valid,
+            _banded_attn_bwd_dq_kernel, band=band, block=block,
             scale=scale, matmul_dtype=matmul_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct((n * h, t_pad, dh), q.dtype),
         grid=grid,
-        in_specs=[blk(), full(), full(), blk(), stat_blk, stat_blk],
+        in_specs=[blk(), full(), full(), blk(), stat_blk, stat_blk,
+                  _smem_scalar_spec()],
         out_specs=blk(),
-    )(qp, kp, vp, gp, lse_b, delta_b)
+    )(qp, kp, vp, gp, lse_b, delta_b, valid)
 
     dk, dv = pl.pallas_call(
         functools.partial(
-            _banded_attn_bwd_dkv_kernel, band=band, block=block, t_real=t_valid,
+            _banded_attn_bwd_dkv_kernel, band=band, block=block,
             scale=scale, matmul_dtype=matmul_dtype,
         ),
         out_shape=[
@@ -370,9 +381,10 @@ def _banded_flash_bwd_impl(
             jax.ShapeDtypeStruct((n * h, t_pad, dh), v.dtype),
         ],
         grid=grid,
-        in_specs=[full(), blk(), blk(), full(), stat_full, stat_full],
+        in_specs=[full(), blk(), blk(), full(), stat_full, stat_full,
+                  _smem_scalar_spec()],
         out_specs=[blk(), blk()],
-    )(qp, kp, vp, gp, lse_b, delta_b)
+    )(qp, kp, vp, gp, lse_b, delta_b, valid)
 
     unpad = lambda a: a.reshape(n, h, t_pad, dh)[:, :, :t, :]
     return unpad(dq), unpad(dk), unpad(dv)
@@ -389,31 +401,45 @@ def _xla_banded_attention(q, k, v, band: int, t_real: int | None = None) -> jnp.
     return dot_product_attention(q, k, v, mask)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def banded_flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     band: int, block: int = DEFAULT_BLOCK, matmul_dtype=jnp.bfloat16,
-    t_real: int | None = None,
+    t_real=None,
 ) -> jnp.ndarray:
     """q,k,v: (N, H, T, Dh) -> (N, H, T, Dh), band half-width L (static).
 
     `t_real`: the real (unpadded) sequence length when the caller already
-    padded T — keys at index >= t_real are masked out."""
-    return _banded_flash_fwd_impl(q, k, v, band, block, matmul_dtype, t_real)
+    padded T — keys (and, in the backward, queries) at index >= t_real are
+    masked out. It may be a Python int OR a traced scalar: it rides into the
+    kernels as an SMEM operand, so ONE compiled program serves every real
+    length within a padded bucket (the Sampler's compile-once-per-bucket
+    contract)."""
+    valid = jnp.asarray(q.shape[2] if t_real is None else t_real, jnp.int32)
+    return _banded_flash_vjp(q, k, v, valid, band, block, matmul_dtype)
 
 
-def _fwd(q, k, v, band, block, matmul_dtype, t_real):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _banded_flash_vjp(q, k, v, valid, band, block, matmul_dtype):
+    return _banded_flash_fwd_impl(q, k, v, band, block, matmul_dtype, valid)
+
+
+def _fwd(q, k, v, valid, band, block, matmul_dtype):
     out, lse = _banded_flash_fwd_impl(
-        q, k, v, band, block, matmul_dtype, t_real, with_lse=True
+        q, k, v, band, block, matmul_dtype, valid, with_lse=True
     )
-    return out, (q, k, v, out, lse)
+    return out, (q, k, v, out, lse, valid)
 
 
-def _bwd(band, block, matmul_dtype, t_real, res, g):
-    q, k, v, o, lse = res
-    return _banded_flash_bwd_impl(
-        q, k, v, o, lse, g, band, block, matmul_dtype, t_real
+def _bwd(band, block, matmul_dtype, res, g):
+    q, k, v, o, lse, valid = res
+    dq, dk, dv = _banded_flash_bwd_impl(
+        q, k, v, o, lse, g, band, block, matmul_dtype, valid
     )
+    # valid is int32: its cotangent is the symbolic-zero float0
+    import numpy as np
+
+    dvalid = np.zeros(valid.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dvalid
 
 
-banded_flash_attention.defvjp(_fwd, _bwd)
+_banded_flash_vjp.defvjp(_fwd, _bwd)

@@ -131,7 +131,9 @@ def context_parallel_banded_attention(
     body = functools.partial(
         _local_banded_attention, band=band, axis=axis, p=p, block=block,
         use_pallas=use_pallas, matmul_dtype=matmul_dtype,
-        t_global_real=None if valid_len is None or valid_len == t else valid_len,
+        # valid_len may be traced (compile-once-per-bucket contract); when it
+        # equals t the k_hi minimum is a numeric no-op, so no Python compare
+        t_global_real=valid_len,
     )
     f = shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,

@@ -92,31 +92,33 @@ class Sampler:
         self.method = method
         self._cache: dict[tuple, Callable] = {}
 
-    # -- compiled program per (N, T_pad, T_real, inpaint, use_cfg) -----------
+    # -- compiled program per (N, T_pad, inpaint, use_cfg) -------------------
 
     def _build(
-        self, n: int, t_pad: int, t_real: int, inpaint: bool, use_cfg: bool
+        self, n: int, t_pad: int, inpaint: bool, use_cfg: bool
     ) -> Callable:
         """use_cfg=False is the plain-forward variant (used by the toy evals
-        which sample with the null class and no guidance, test_toy.py:65-74)."""
+        which sample with the null class and no guidance, test_toy.py:65-74).
+
+        The real (unpadded) length is a TRACED argument of the compiled
+        function — the Pallas kernels take it as an SMEM operand and the XLA
+        path folds it into the mask as a traced comparison — so one program
+        serves every beatmap length within a bucket (the reference's
+        per-length mask is free, sample.py:82-84; recompiling a DiT per
+        length would be strictly worse)."""
         band = self.band
         cp = self.cp_mesh is not None
         use_pallas = self.use_pallas and band is not None
-        # real (unpadded) length: the Pallas kernel masks padded keys itself;
-        # the XLA path folds the key-validity into the dense mask
-        valid_len = t_real if t_pad != t_real else None
         mask = None
         if not use_pallas and not cp:
             if band is not None:
                 mask = banded_attention_mask(t_pad, band)
             else:
                 mask = jnp.ones((t_pad, t_pad), dtype=bool)
-            if valid_len is not None:
-                mask = mask & (jnp.arange(t_pad)[None, :] < valid_len)
 
         dtype = self.compute_dtype
 
-        def sample(params, z, o, c, y, rng, known_x, known_mask):
+        def sample(params, z, o, c, y, rng, known_x, known_mask, valid_len):
             def model_fn(x, t, **kw):
                 # x/o/c stay f32 into the model (sincos precision); only the
                 # residual stream runs in compute_dtype
@@ -175,9 +177,9 @@ class Sampler:
         n, t_real = z.shape[0], z.shape[1]
         t_pad = _bucketed(t_real, self.bucket)
         inpaint = known_x is not None
-        key = (n, t_pad, t_real, inpaint, use_cfg)
+        key = (n, t_pad, inpaint, use_cfg)
         if key not in self._cache:
-            self._cache[key] = self._build(n, t_pad, t_real, inpaint, use_cfg)
+            self._cache[key] = self._build(n, t_pad, inpaint, use_cfg)
         fn = self._cache[key]
 
         zp = _pad_time(z, t_pad)
@@ -189,7 +191,7 @@ class Sampler:
         else:
             kx = jnp.zeros_like(zp)
             km = jnp.zeros(zp.shape, dtype=jnp.bool_)
-        out = fn(params, zp, op, cp, y, rng, kx, km)
+        out = fn(params, zp, op, cp, y, rng, kx, km, jnp.int32(t_real))
         return out[:, :t_real, :]
 
 
