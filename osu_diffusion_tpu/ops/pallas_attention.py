@@ -165,57 +165,173 @@ def _banded_flash_fwd_impl(
     return out
 
 
-def banded_flash_attention_ranged(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, band: int,
-    k_lo: jnp.ndarray, k_hi: jnp.ndarray,
-    block: int = DEFAULT_BLOCK, matmul_dtype=jnp.bfloat16,
-) -> jnp.ndarray:
-    """Banded flash attention with a DYNAMIC valid-key range [k_lo, k_hi).
-
-    Forward-only variant used by context-parallel sampling
-    (parallel/context.py): q/k/v are one shard's halo-extended slices, and the
-    valid range depends on the shard's position on the mesh axis (a traced
-    value — edge shards mask the halo that has no neighbor). T must already be
-    a multiple of `block`.
-    """
+def _ranged_fwd_impl(q, k, v, bounds, band: int, block: int, matmul_dtype,
+                     with_lse: bool = False):
     n, h, t, dh = q.shape
     assert t % block == 0, (t, block)
     qp = q.reshape(n * h, t, dh)
     kp = k.reshape(n * h, t, dh)
     vp = v.reshape(n * h, t, dh)
     scale = 1.0 / (dh ** 0.5)
-    bounds = jnp.stack([k_lo, k_hi]).astype(jnp.int32).reshape(1, 2)
+    bounds2d = bounds.reshape(1, 4)
     valid = jnp.full((1, 1), t, jnp.int32)  # [k_lo, k_hi) already bounds keys
 
-    def kernel(q_ref, k_ref, v_ref, bounds_ref, valid_ref, o_ref):
+    def kernel(q_ref, k_ref, v_ref, bounds_ref, valid_ref, o_ref, lse_ref=None):
         _banded_attn_fwd_kernel(
-            q_ref, k_ref, v_ref, valid_ref, o_ref, None, band=band,
+            q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref, band=band,
             block=block, scale=scale, matmul_dtype=matmul_dtype,
             bounds_ref=bounds_ref,
         )
 
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((n * h, t, dh), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    ]
+    if with_lse:
+        out_shape.append(jax.ShapeDtypeStruct((n * h, t, LANE), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+        )
+    else:
+        kernel = functools.partial(kernel, lse_ref=None)
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n * h, t, dh), q.dtype),
+        out_shape=out_shape,
         grid=(n * h, t // block),
         in_specs=[
             pl.BlockSpec((1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             _smem_scalar_spec(),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        out_specs=out_specs,
+    )(qp, kp, vp, bounds2d, valid)
+    out = outs[0].reshape(n, h, t, dh)
+    if with_lse:
+        return out, outs[1][:, :, 0]
+    return out, None
+
+
+def banded_flash_attention_ranged(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, band: int,
+    k_lo: jnp.ndarray, k_hi: jnp.ndarray,
+    block: int = DEFAULT_BLOCK, matmul_dtype=jnp.bfloat16,
+    q_lo=None, q_hi=None,
+) -> jnp.ndarray:
+    """Banded flash attention with a DYNAMIC valid-key range [k_lo, k_hi).
+
+    Used by context-parallel attention (parallel/context.py): q/k/v are one
+    shard's halo-extended slices, and the valid range depends on the shard's
+    position on the mesh axis (a traced value — edge shards mask the halo
+    that has no neighbor). T must already be a multiple of `block`.
+
+    DIFFERENTIABLE (round-3: CP training): the custom VJP reuses the
+    block-local dq/dkv kernels with the dynamic bounds. `q_lo`/`q_hi` bound
+    the VALID QUERY rows (the non-pad region [halo, halo + t_loc) in the CP
+    layout) — backward needs them so pad-query rows, whose forward LSE is
+    -inf, contribute exact zeros to dk/dv instead of garbage.
+    """
+    t = q.shape[2]
+    bounds = jnp.stack([
+        jnp.asarray(k_lo, jnp.int32),
+        jnp.asarray(k_hi, jnp.int32),
+        jnp.asarray(0 if q_lo is None else q_lo, jnp.int32),
+        jnp.asarray(t if q_hi is None else q_hi, jnp.int32),
+    ])
+    return _ranged_vjp(q, k, v, bounds, band, block, matmul_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ranged_vjp(q, k, v, bounds, band, block, matmul_dtype):
+    return _ranged_fwd_impl(q, k, v, bounds, band, block, matmul_dtype)[0]
+
+
+def _ranged_fwd(q, k, v, bounds, band, block, matmul_dtype):
+    out, lse = _ranged_fwd_impl(
+        q, k, v, bounds, band, block, matmul_dtype, with_lse=True
+    )
+    return out, (q, k, v, out, lse, bounds)
+
+
+def _ranged_bwd(band, block, matmul_dtype, res, g):
+    q, k, v, o, lse, bounds = res
+    dq, dk, dv = _ranged_bwd_impl(
+        q, k, v, o, lse, g, bounds, band, block, matmul_dtype
+    )
+    import numpy as np
+
+    return dq, dk, dv, np.zeros(bounds.shape, dtype=jax.dtypes.float0)
+
+
+_ranged_vjp.defvjp(_ranged_fwd, _ranged_bwd)
+
+
+def _ranged_bwd_impl(q, k, v, o, lse, g, bounds, band: int, block: int,
+                     matmul_dtype):
+    """dq/dk/dv with dynamic [k_lo, k_hi) x [q_lo, q_hi) bounds. T is already
+    a multiple of `block` (the ranged-call contract)."""
+    n, h, t, dh = q.shape
+    qp = q.reshape(n * h, t, dh)
+    kp = k.reshape(n * h, t, dh)
+    vp = v.reshape(n * h, t, dh)
+    gp = g.reshape(n * h, t, dh)
+    scale = 1.0 / (dh ** 0.5)
+    bounds2d = bounds.reshape(1, 4)
+    valid = jnp.full((1, 1), t, jnp.int32)
+
+    delta = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+    delta_b = jnp.broadcast_to(
+        delta.reshape(n * h, t)[:, :, None], (n * h, t, LANE)
+    )
+    lse_b = jnp.broadcast_to(lse[:, :, None], (n * h, t, LANE))
+
+    grid = (n * h, t // block)
+    blk = lambda: pl.BlockSpec((1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec((1, t, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    stat_blk = pl.BlockSpec((1, block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    stat_full = pl.BlockSpec((1, t, LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    bounds_spec = pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _banded_attn_bwd_dq_kernel, band=band, block=block,
+            scale=scale, matmul_dtype=matmul_dtype, has_bounds=True,
         ),
-    )(qp, kp, vp, bounds, valid)
-    return out.reshape(n, h, t, dh)
+        out_shape=jax.ShapeDtypeStruct((n * h, t, dh), q.dtype),
+        grid=grid,
+        in_specs=[blk(), full(), full(), blk(), stat_blk, stat_blk,
+                  _smem_scalar_spec(), bounds_spec],
+        out_specs=blk(),
+    )(qp, kp, vp, gp, lse_b, delta_b, valid, bounds2d)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _banded_attn_bwd_dkv_kernel, band=band, block=block,
+            scale=scale, matmul_dtype=matmul_dtype, has_bounds=True,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n * h, t, dh), k.dtype),
+            jax.ShapeDtypeStruct((n * h, t, dh), v.dtype),
+        ],
+        grid=grid,
+        in_specs=[full(), blk(), blk(), full(), stat_full, stat_full,
+                  _smem_scalar_spec(), bounds_spec],
+        out_specs=[blk(), blk()],
+    )(qp, kp, vp, gp, lse_b, delta_b, valid, bounds2d)
+
+    reshape = lambda a: a.reshape(n, h, t, dh)
+    return reshape(dq), reshape(dk), reshape(dv)
 
 
 def _banded_attn_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, valid_ref, dq_ref,
-    *, band: int, block: int, scale: float, matmul_dtype,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, valid_ref, *refs,
+    band: int, block: int, scale: float, matmul_dtype, has_bounds: bool = False,
 ):
+    if has_bounds:
+        bounds_ref, dq_ref = refs
+    else:
+        bounds_ref, (dq_ref,) = None, refs
     """dq for one (batch*head, q-block): dq = sum_kb (p*(dp-delta)) @ k * scale.
 
     q_ref/do_ref/dq_ref: (1, B, Dh) blocked; k_ref/v_ref: (1, T_pad, Dh) full;
@@ -255,6 +371,14 @@ def _banded_attn_bwd_dq_kernel(
             & (q_idx < valid_ref[0, 0])
             & kb_valid
         )
+        if bounds_ref is not None:
+            # dynamic [k_lo, k_hi) x [q_lo, q_hi): the q bounds zero out
+            # pad-query rows whose forward LSE is -inf (exp would overflow)
+            allowed = (
+                allowed
+                & (k_idx >= bounds_ref[0, 0]) & (k_idx < bounds_ref[0, 1])
+                & (q_idx >= bounds_ref[0, 2]) & (q_idx < bounds_ref[0, 3])
+            )
         p = jnp.where(allowed, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -269,9 +393,13 @@ def _banded_attn_bwd_dq_kernel(
 
 
 def _banded_attn_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, valid_ref, dk_ref, dv_ref,
-    *, band: int, block: int, scale: float, matmul_dtype,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, valid_ref, *refs,
+    band: int, block: int, scale: float, matmul_dtype, has_bounds: bool = False,
 ):
+    if has_bounds:
+        bounds_ref, dk_ref, dv_ref = refs
+    else:
+        bounds_ref, (dk_ref, dv_ref) = None, refs
     """dk/dv for one (batch*head, key-block).
 
     k_ref/v_ref/dk_ref/dv_ref: (1, B, Dh) blocked; q_ref/do_ref: (1, T_pad, Dh)
@@ -316,6 +444,12 @@ def _banded_attn_bwd_dkv_kernel(
             & (q_idx < valid_ref[0, 0])
             & qb_valid
         )
+        if bounds_ref is not None:
+            allowed = (
+                allowed
+                & (k_idx >= bounds_ref[0, 0]) & (k_idx < bounds_ref[0, 1])
+                & (q_idx >= bounds_ref[0, 2]) & (q_idx < bounds_ref[0, 3])
+            )
         p = jnp.where(allowed, jnp.exp(s - lse_q), 0.0)
         # dv += p^T @ do
         dv = dv + jax.lax.dot_general(

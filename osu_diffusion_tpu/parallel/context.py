@@ -18,8 +18,11 @@ Design notes (TPU-native):
 - Everything else in the transformer is elementwise or dense over the feature
   axis, so under jit the sequence sharding propagates through the whole model
   untouched; attention is the only op that needs this halo exchange.
-- Forward-only (sampling path): training uses windows of seq_len=128 and
-  never needs a sharded sequence.
+- DIFFERENTIABLE (round 3): shard_map/ppermute transpose automatically, the
+  dense local path is plain XLA, and the ranged Pallas kernel carries a
+  custom VJP with the same dynamic bounds — so long-T banded TRAINING can
+  shard the sequence axis too (grad-parity tested against the single-device
+  dense path on the virtual 8-device mesh; see make_train_step(cp_mesh=...)).
 """
 from __future__ import annotations
 
@@ -88,11 +91,14 @@ def _local_banded_attention(
 
         # pad q by `halo` on both sides so query row i sits at extended index
         # i + halo — then the kernel's band formula q - L < k <= q + L holds
-        # verbatim in extended coords; the pad rows are sliced off after
+        # verbatim in extended coords; the pad rows are sliced off after.
+        # q_lo/q_hi bound the real query rows for the backward kernels (the
+        # ranged kernel is differentiable; grads for k/v halos flow back to
+        # the neighbor shards through ppermute's own transpose).
         q_ext = jnp.pad(q, [(0, 0), (0, 0), (halo, halo), (0, 0)])
         out = banded_flash_attention_ranged(
             q_ext, k_ext, v_ext, band, k_lo, k_hi, block=block,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, q_lo=halo, q_hi=halo + t_loc,
         )
         return out[:, :, halo : halo + t_loc, :]
 

@@ -80,6 +80,8 @@ def make_train_step(
     max_timestep: int | None = None,
     use_pallas: bool = False,
     band: int | None = None,
+    cp_mesh=None,
+    cp_axis: str = "model",
 ) -> Callable:
     """Build the jittable train step.
 
@@ -89,8 +91,14 @@ def make_train_step(
     train.py:56-63,223-241).
     `max_timestep`: cap the uniform timestep draw; max_timestep=1 trains only
     t=0, producing the "refine model" (parity: train_nodist.py:222).
+    `cp_mesh`/`cp_axis`: context-parallel training — shard the sequence axis
+    of attention over the mesh axis with halo exchange (requires `band`; T
+    must divide axis_size * 128). Long banded sequences beyond one chip's
+    memory can then be TRAINED, not just sampled (parallel/context.py).
     Returns (new_state, metrics) with metrics {loss, l1|mse, vb}.
     """
+    if cp_mesh is not None:
+        assert band is not None, "context-parallel training requires a band"
 
     def train_step(state: TrainState, batch, rng: jax.Array):
         raw, prev_xy, y = batch
@@ -118,6 +126,8 @@ def make_train_step(
                     train=True,
                     band=band,
                     use_pallas=use_pallas,
+                    cp_mesh=cp_mesh,
+                    cp_axis=cp_axis,
                     dtype=compute_dtype,
                     rngs={"label_dropout": drop_rng},
                 )
