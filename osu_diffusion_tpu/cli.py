@@ -328,6 +328,11 @@ def build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--steps-per-call", type=int, default=d.steps_per_call)
     parser.add_argument("--profile-dir", type=str, default=None)
+    parser.add_argument("--band", type=int, default=d.band,
+                        help="banded attention half-width for long-T "
+                             "fine-tuning (defaults to seq-len when "
+                             "--use-pallas)")
+    _bool_flag(parser, "context-parallel", d.context_parallel)
     _bool_flag(parser, "l1-loss", d.l1_loss)
     _bool_flag(parser, "relearn-embeds", d.relearn_embeds)
     _bool_flag(parser, "use-bf16", d.use_bf16)
@@ -372,5 +377,7 @@ def train_main(args) -> dict:
         multihost=args.multihost,
         scan_blocks=args.scan_blocks,
         remat=args.remat,
+        band=args.band,
+        context_parallel=args.context_parallel,
     )
     return train(config)

@@ -82,6 +82,13 @@ class TrainConfig:
     # pre-GELU activation, so remat=False fits DiT-B batch-256 on a 16 GB chip
     # and skips the ~33% forward-recompute FLOPs.
     remat: bool = True
+    # banded attention half-width for long-T fine-tuning (defaults to seq_len
+    # when use_pallas — exactly full attention at T = seq_len)
+    band: int | None = None
+    # context-parallel training: shard the attention sequence axis over the
+    # mesh "model" axis (halo exchange, parallel/context.py). Requires a band
+    # and seq_len divisible by num_model * 128.
+    context_parallel: bool = False
 
 
 def _embed_mask(params, trainable_embed_only: bool):
@@ -231,16 +238,31 @@ def train(config: TrainConfig) -> dict:
     k = max(1, config.steps_per_call)
     compute_dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
 
+    # band = seq_len at T = seq_len is exactly full attention (the band
+    # q-L < k <= q+L covers [0, T) for every query), so training through the
+    # flash kernel is mathematically the reference's unmasked training
+    # attention; an explicit config.band narrows it for long-T fine-tuning
+    band = config.band if config.band is not None else (
+        config.seq_len if config.use_pallas else None
+    )
+    cp_mesh = None
+    if config.context_parallel:
+        assert band is not None, "context_parallel requires a band"
+        assert use_mesh and config.num_model > 1, (
+            "context_parallel shards the sequence over the mesh 'model' axis; "
+            "need num_model > 1 and more than one device"
+        )
+        assert config.seq_len % (config.num_model * 128) == 0, (
+            config.seq_len, config.num_model
+        )
+        cp_mesh = mesh
+
     def _jit_steps(trainable_mask=None):
         single = make_train_step(
             model, diffusion, optimizer, trainable_mask=trainable_mask,
             compute_dtype=compute_dtype, max_timestep=config.max_timestep,
             augment=config.augment, use_pallas=config.use_pallas,
-            # band = seq_len at T = seq_len is exactly full attention (the
-            # band q-L < k <= q+L covers [0, T) for every query), so training
-            # through the flash kernel is mathematically the reference's
-            # unmasked training attention
-            band=config.seq_len if config.use_pallas else None,
+            band=band, cp_mesh=cp_mesh,
         )
         return (
             jax.jit(single, donate_argnums=(0,)),

@@ -99,3 +99,35 @@ def test_train_driver_end_to_end(toy_dataset, tiny_registry, tmp_path):
     )
     out2 = train(config2)
     assert out2["final_step"] >= 14
+
+
+def test_train_driver_with_context_parallelism(toy_dataset, tiny_registry, tmp_path):
+    """train(context_parallel=True): the full driver path with the attention
+    sequence axis sharded over the mesh 'model' axis (round-3 CP training).
+    seq_len 256 = num_model(2) * 128; only the 757-row filler map yields
+    windows at this length."""
+    results = str(tmp_path / "results_cp")
+    config = TrainConfig(
+        data_path=toy_dataset,
+        num_classes=100,
+        data_start=0,
+        data_end=2,
+        results_dir=results,
+        model=tiny_registry,
+        epochs=10 ** 6,
+        global_batch_size=4,
+        num_workers=0,
+        log_every=2,
+        ckpt_every=10 ** 6,
+        seq_len=256,
+        stride=128,
+        max_steps=2,
+        steps_per_call=1,
+        num_model=2,
+        band=128,
+        context_parallel=True,
+        remat=False,
+    )
+    out = train(config)
+    assert out["final_step"] >= 2
+    assert np.isfinite(out["last_loss"])

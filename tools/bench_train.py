@@ -22,8 +22,29 @@ V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e (v5 lite) peak bf16 FLOP/s per chip
 
 
 def model_flops_per_step(n_params_active: int, batch: int, seq_len: int) -> float:
-    """6·P·tokens forward+backward estimate, attention excluded (small at T=128)."""
+    """6·P·tokens forward+backward estimate for the parameterized matmuls."""
     return 6.0 * n_params_active * batch * seq_len
+
+
+def attention_flops_per_step(
+    depth: int, hidden: int, batch: int, seq_len: int, band: int | None
+) -> float:
+    """Ideal fwd+bwd FLOPs of the attention score/value matmuls (the term
+    6·P·tokens misses — it dominates the banded long-T benchmarks, whose
+    whole point is the O(T·band) attention).
+
+    Exact banded pair count per query row (band q-L < k <= q+L, clipped at
+    the sequence edges); 4·pairs·D forward (QK^T and PV at 2 FLOPs/MAC each),
+    x3 for fwd+bwd — the ideal algorithm, consistent with 6·P·tokens which
+    also excludes remat/recompute FLOPs."""
+    q = np.arange(seq_len)
+    if band is None:
+        pairs = seq_len * seq_len
+    else:
+        lo = np.maximum(0, q - band + 1)
+        hi = np.minimum(seq_len, q + band + 1)
+        pairs = int((hi - lo).sum())
+    return depth * 12.0 * hidden * pairs * batch
 
 
 def main() -> None:
@@ -119,7 +140,13 @@ def main() -> None:
     steps = args.calls * k
     steps_per_sec = steps / elapsed
     samples_per_sec = steps_per_sec * n
-    flops = model_flops_per_step(n_active, n, t)
+    cfg = model.config
+    eff_band = args.band if args.band is not None else (
+        args.seq_len if args.use_pallas else None
+    )
+    mm_flops = model_flops_per_step(n_active, n, t)
+    attn_flops = attention_flops_per_step(cfg.depth, cfg.hidden_size, n, t, eff_band)
+    flops = mm_flops + attn_flops
     mfu = steps_per_sec * flops / V5E_BF16_PEAK_FLOPS
     print(json.dumps({
         "model": args.model,
@@ -131,6 +158,7 @@ def main() -> None:
         "steps_per_sec": round(steps_per_sec, 3),
         "samples_per_sec": round(samples_per_sec, 1),
         "est_flops_per_step": flops,
+        "attn_flops_per_step": attn_flops,
         "mfu": round(mfu, 4),
         "loss": float(m["loss"]),
     }))
