@@ -161,6 +161,7 @@ class SelfAttention(nn.Module):
 
     hidden_size: int
     num_heads: int
+    attn_layout: str = "packed"
 
     @nn.compact
     def __call__(
@@ -182,7 +183,7 @@ class SelfAttention(nn.Module):
             x, qkv_kernel, qkv_bias, out_kernel, out_bias,
             num_heads=self.num_heads, mask=mask, band=band,
             use_pallas=use_pallas, valid_len=valid_len,
-            cp_mesh=cp_mesh, cp_axis=cp_axis,
+            cp_mesh=cp_mesh, cp_axis=cp_axis, layout=self.attn_layout,
         )
 
 
@@ -215,6 +216,7 @@ class DiTBlock(nn.Module):
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
+    attn_layout: str = "packed"
 
     @nn.compact
     def __call__(
@@ -239,7 +241,9 @@ class DiTBlock(nn.Module):
             mod, 6, axis=-1
         )
         h = modulate(layer_norm(x), shift_msa, scale_msa)
-        attn = SelfAttention(self.hidden_size, self.num_heads, name="attn")(
+        attn = SelfAttention(
+            self.hidden_size, self.num_heads, self.attn_layout, name="attn"
+        )(
             h, mask, band, use_pallas, valid_len, cp_mesh, cp_axis
         )
         x = x + gate_msa[:, None, :] * attn
@@ -315,6 +319,12 @@ class DiTConfig:
     # runtime (the headline benchmark) wins over compile latency, and the
     # persistent compilation cache amortizes repeat compiles anyway.
     scan_blocks: bool = False
+    # attention projection layout: "packed" (one (D,3D) einsum + split +
+    # transposes) or "einsum" (per-slice einsums with the head axis produced
+    # and merged by the matmuls — no split copies). Numerically identical;
+    # checkpoint layout unchanged. Perf experiment vs the profiled
+    # qkv-split/transpose residue.
+    attn_layout: str = "packed"
     # partial unrolling of the block scan: trace `scan_unroll` blocks per scan
     # iteration — recovers cross-layer XLA optimization (the source of the
     # scan runtime gap) while keeping most of the compile-time win. depth must
@@ -393,7 +403,8 @@ class DiT(nn.Module):
             )
             x, _ = scan(
                 DiTBlock(
-                    cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, name="blocks"
+                    cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
+                    cfg.attn_layout, name="blocks"
                 ),
                 x,
                 None,
@@ -404,7 +415,8 @@ class DiT(nn.Module):
             )
             for i in range(cfg.depth):
                 block = DiTBlock(
-                    cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, name=f"blocks_{i}"
+                    cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
+                    cfg.attn_layout, name=f"blocks_{i}"
                 )
                 x = run_block(block, x, cond, attn_mask)
         return FinalLayer(cfg.hidden_size, cfg.out_channels, name="final_layer")(x, cond)

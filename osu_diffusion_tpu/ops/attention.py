@@ -61,11 +61,19 @@ def multi_head_attention(
     valid_len: int | None = None,
     cp_mesh=None,
     cp_axis: str = "model",
+    layout: str = "packed",
 ) -> jnp.ndarray:
     """Self-attention over x (N, T, D) with packed qkv projection.
 
     qkv_kernel: (D, 3D) packed [q|k|v] along the output axis — same packing as
     torch MultiheadAttention's in_proj (transposed), easing checkpoint conversion.
+
+    `layout`: "packed" (default) = one (D, 3D) einsum then split + per-tensor
+    head transposes; "einsum" = three (D, H, Dh) einsums producing (N, H, T,
+    Dh) directly and an output einsum contracting (H, Dh) — no split copies,
+    every transpose folded into a matmul. Numerically identical (tested); a
+    perf experiment against the profiled qkv-split/transpose residue
+    (PARITY.md MFU ceiling notes).
 
     If `band` is given and `use_pallas`, dispatch to the fused block-local Pallas
     kernel (TPU); otherwise apply the dense mask through XLA.
@@ -82,19 +90,31 @@ def multi_head_attention(
     dh = d // num_heads
     # cast weights to the stream dtype at use (f32 master params): bf16
     # operands keep every cotangent/elementwise op in bf16 instead of f32
-    qkv = jnp.einsum(
-        "ntd,de->nte", x, qkv_kernel.astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + qkv_bias.astype(x.dtype)
-    # split + per-tensor head transposes; measured FASTER (78.3% vs 73.8%
-    # train MFU) than a fused (n,t,3,H,dh)->(3,n,H,t,dh) transpose, which
-    # forces a worse intermediate layout
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if layout == "einsum":
+        # three per-slice einsums, head axis produced by the matmul itself
+        w3 = qkv_kernel.astype(x.dtype).reshape(d, 3, num_heads, dh)
+        b3 = qkv_bias.astype(x.dtype).reshape(3, num_heads, 1, dh)
+        q, k, v = (
+            jnp.einsum(
+                "ntd,dhc->nhtc", x, w3[:, s],
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype) + b3[s]
+            for s in range(3)
+        )
+    else:
+        qkv = jnp.einsum(
+            "ntd,de->nte", x, qkv_kernel.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype) + qkv_bias.astype(x.dtype)
+        # split + per-tensor head transposes; measured FASTER (78.3% vs 73.8%
+        # train MFU) than a fused (n,t,3,H,dh)->(3,n,H,t,dh) transpose, which
+        # forces a worse intermediate layout
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    def heads(a):
-        return a.reshape(n, t, num_heads, dh).transpose(0, 2, 1, 3)
+        def heads(a):
+            return a.reshape(n, t, num_heads, dh).transpose(0, 2, 1, 3)
 
-    q, k, v = heads(q), heads(k), heads(v)
+        q, k, v = heads(q), heads(k), heads(v)
 
     if cp_mesh is not None:
         from osu_diffusion_tpu.parallel.context import (
@@ -121,6 +141,12 @@ def multi_head_attention(
             mask = key_valid if mask is None else mask & key_valid
         o = dot_product_attention(q, k, v, mask)
 
+    if layout == "einsum":
+        # head-merge transpose folded into the output projection
+        wo = out_kernel.astype(x.dtype).reshape(num_heads, dh, d)
+        return jnp.einsum(
+            "nhtc,hcd->ntd", o, wo, preferred_element_type=jnp.float32
+        ).astype(x.dtype) + out_bias.astype(x.dtype)
     o = o.transpose(0, 2, 1, 3).reshape(n, t, d)
     return jnp.einsum(
         "ntd,de->nte", o, out_kernel.astype(x.dtype),

@@ -255,3 +255,35 @@ def test_golden_parity_with_torch_reference():
     sd2 = params_to_torch_state_dict(params["params"], num_label_rows=8)
     for k, v in ref.state_dict().items():
         np.testing.assert_allclose(sd2[k], v.numpy(), atol=1e-7)
+
+
+def test_attn_layout_einsum_matches_packed():
+    """attn_layout='einsum' (transposes folded into the projection matmuls) is
+    numerically identical to the default packed layout, same param tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from osu_diffusion_tpu.models.dit import DiT, DiTConfig
+
+    ctx = 144
+    kw = dict(hidden_size=64, depth=2, num_heads=4, num_classes=9,
+              context_size=ctx, class_dropout_prob=0.1)
+    m_packed = DiT(DiTConfig(**kw))
+    m_einsum = DiT(DiTConfig(attn_layout="einsum", **kw))
+    n, t = 2, 24
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, t, 2))
+    ts = jnp.asarray([3, 500], jnp.int32)
+    o = jnp.cumsum(jax.random.uniform(jax.random.PRNGKey(1), (n, t)), axis=1) * 99
+    c = jax.random.normal(jax.random.PRNGKey(2), (n, t, ctx))
+    y = jnp.asarray([1, 4], jnp.int32)
+    params = m_packed.init(jax.random.PRNGKey(3), x, ts, o, c, y)["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(4), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [l + jax.random.normal(k, l.shape) * 0.02 for l, k in zip(leaves, keys)],
+    )
+    a = m_packed.apply({"params": params}, x, ts, o, c, y)
+    b = m_einsum.apply({"params": params}, x, ts, o, c, y)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)

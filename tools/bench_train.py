@@ -62,6 +62,10 @@ def main() -> None:
     parser.add_argument("--no-remat", action="store_true",
                         help="disable per-block rematerialization")
     parser.add_argument("--scan-blocks", action="store_true")
+    parser.add_argument("--attn-layout", choices=["packed", "einsum"],
+                        default="packed",
+                        help="attention projection layout experiment: einsum "
+                             "folds the head transposes into the matmuls")
     parser.add_argument("--band", type=int, default=None,
                         help="banded attention half-width (long-sequence "
                              "fine-tuning shape); defaults to seq-len when "
@@ -82,7 +86,7 @@ def main() -> None:
     model = DiT_models[args.model](
         num_classes=args.num_classes, context_size=CONTEXT_SIZE,
         class_dropout_prob=0.2, remat=not args.no_remat,
-        scan_blocks=args.scan_blocks,
+        scan_blocks=args.scan_blocks, attn_layout=args.attn_layout,
     )
     diffusion = create_diffusion("", noise_schedule="squaredcos_cap_v2", use_l1=True)
     opt = make_optimizer()
