@@ -177,12 +177,18 @@ def maps_by_mapper(df, mapper: str):
     two reference scripts target different dataframe vintages — Creator/
     Version vs Source/Difficulty; this dataframe's difficulty-name column is
     "Difficulty")."""
+    import re
+
+    # deliberate deviation: the reference interpolates the raw name into its
+    # regexes, so mappers with metacharacters (e.g. "[Toy]", common in osu
+    # usernames) select wrong groups or crash; escape the name instead
+    name = re.escape(mapper)
     regex = (
-        f"(?!\\s?(de\\s)?(it|that|{mapper}))"
+        f"(?!\\s?(de\\s)?(it|that|{name}))"
         "(((^|[^\\S\r\n])(\\S)*([sz]'|'s))|((^|[^\\S\r\n])de\\s(\\S)*))"
     )
     return df[
-        ((df["Creator"] == mapper) | df["Difficulty"].str.contains(mapper))
+        ((df["Creator"] == mapper) | df["Difficulty"].str.contains(name))
         & ~df["Difficulty"].str.contains(regex)
     ]
 
@@ -285,8 +291,8 @@ def main(argv=None):
         df = load_tagged_dataframe(args.beatmap_df, args.tags_csv)
         names = args.tags or args.mappers
         select = maps_by_tag if args.tags else maps_by_mapper
-        if args.tags and args.tags_csv is None:
-            parser.error("--tags requires --tags-csv")
+        if (args.tags or args.test_tags) and args.tags_csv is None:
+            parser.error("--tags/--test-tags require --tags-csv")
         groups = [np.asarray(select(df, name).index) for name in names]
         counts = {k: len(g) for k, g in enumerate(groups)}
         print(counts)  # class-count line, parity embedding_svm.py:20,27

@@ -309,3 +309,50 @@ def test_unfuck_example_longer_than_seq_len():
     assert seq.shape[0] == 128 and start == 0 and end == 128
     out = fuckup_pattern(seq, start, end, 5.0, np.random.default_rng(0))
     assert out.shape == seq.shape
+
+
+def test_svm_mapper_with_regex_metacharacters(tmp_path, capsys):
+    """Mapper names with regex metacharacters (common in osu usernames, e.g.
+    '[Toy]') must select only their own maps — the raw-interpolation bug made
+    str.contains('[Toy]') a character class matching unrelated difficulties."""
+    import pandas as pd
+    import torch
+
+    table = np.random.RandomState(1).randn(4, 8).astype(np.float32)
+    ckpt = tmp_path / "c.pt"
+    torch.save(
+        {"ema": {"y_embedder.embedding_table.weight": torch.from_numpy(table)}},
+        ckpt,
+    )
+    rows = [
+        {"BeatmapID": 1, "Title": "a", "Creator": "[Toy]", "Difficulty": "Expert"},
+        {"BeatmapID": 2, "Title": "b", "Creator": "Zed", "Difficulty": "Tough map"},
+        {"BeatmapID": 3, "Title": "c", "Creator": "Zed", "Difficulty": "[Toy]'s Extra"},
+        {"BeatmapID": 4, "Title": "d", "Creator": "Bad(", "Difficulty": "Hard"},
+    ]
+    df_path = tmp_path / "df.pkl"
+    pd.DataFrame(rows).to_pickle(df_path)
+    sel = ev_emb.maps_by_mapper(pd.read_pickle(df_path), "[Toy]")
+    # own upload + own guest difficulty; NOT Zed's 'Tough map'
+    assert sorted(sel["BeatmapID"]) == [1, 3]
+    # a name with an unbalanced paren must not crash the regex engine
+    sel2 = ev_emb.maps_by_mapper(pd.read_pickle(df_path), "Bad(")
+    assert sorted(sel2["BeatmapID"]) == [4]
+    ev_emb.main([
+        "unique", "--ckpt", str(ckpt), "--beatmap-df", str(df_path),
+        "--mapper", "[Toy]",
+    ])
+    assert "Found 2 beatmaps." in capsys.readouterr().out
+
+
+def test_svm_test_tags_require_tags_csv(tmp_path):
+    """--test-tags without --tags-csv must error cleanly at argparse level,
+    not KeyError('omdb') after fitting the SVM."""
+    import pytest as _pytest
+
+    ckpt, df_path, csv_path = _write_svm_fixtures(tmp_path)
+    with _pytest.raises(SystemExit):
+        ev_emb.main([
+            "svm", "--ckpt", ckpt, "--beatmap-df", df_path,
+            "--mappers", "Alice", "Bob", "--test-tags", "geometric",
+        ])

@@ -63,3 +63,46 @@ def test_long_fixture_copied_verbatim(tmp_path):
         want = f.read()
     with open(kimi[0], encoding="utf-8-sig") as f:
         assert f.read() == want
+
+
+def test_early_timing_point_fixture_does_not_regovern_tail(tmp_path):
+    """A fixture whose red line precedes its first object by more than the
+    seam gap must NOT land that red line inside the filler tail after the
+    shift (it would re-govern tail sliders and corrupt their durations)."""
+    from datetime import timedelta
+
+    from longrun_toy import _kimi_tail, _pad_with_filler
+
+    from osu_diffusion_tpu.beatmap.parser import parse_beatmap
+    from osu_diffusion_tpu.beatmap.writer import render_beatmap
+
+    # red line at 0ms with a very slow beat; first object at 5000ms
+    fixture = parse_beatmap("""osu file format v14
+
+[Difficulty]
+SliderMultiplier:1
+SliderTickRate:1
+
+[TimingPoints]
+0,2000,4,2,0,100,1
+
+[HitObjects]
+100,100,5000,2,0,L|200:100,1,100
+300,300,10000,1,0,0:0:0:0:
+""")
+    tail = _kimi_tail(os.path.join(ASSETS, "kimi_no_bouken.osu"), 160)
+    combined = _pad_with_filler(fixture, tail)
+    reparsed = parse_beatmap(render_beatmap(combined))
+    seq = beatmap_to_sequence(reparsed)
+    assert (np.diff(seq[:, 2]) >= -1e-4).all()
+    # every fixture timing point sits past the tail's last object
+    tail_end = max(
+        max(o.time, getattr(o, "end_time", o.time)) for o in tail.hit_objects()
+    )
+    shifted = reparsed.timing_points[len(combined.timing_points) - 1:]
+    # the fixture slider still gets ITS red line: 100px at SM=1, SV=1, beat
+    # 2000ms -> span 2000ms (end = start + 2000)
+    objs = reparsed.hit_objects()
+    slider = objs[-2]
+    span = (slider.end_time - slider.time) / timedelta(milliseconds=1)
+    assert abs(span - 2000.0) < 1.0, span

@@ -87,10 +87,17 @@ def _pad_with_filler(fix_bm, tail_bm, gap_ms: float = 300.0):
             tail_tps.append(
                 dataclasses.replace(tp, ms_per_beat=tp.ms_per_beat * sm_ratio)
             )
-    # parent links are rebuilt when the loader re-parses the written file,
-    # so only offsets need shifting here
+    # parent links are rebuilt when the loader re-parses the written file, so
+    # only offsets need shifting. A fixture timing point that precedes its
+    # first OBJECT by more than gap_ms would land inside the filler tail
+    # after the shift and re-govern tail sliders (corrupting their
+    # durations) — clamp shifted offsets to just past the tail. Clamped
+    # points keep their relative order (sorted input, stable sort on
+    # re-parse), and every fixture object sits at >= seam + gap_ms, so
+    # governance over the fixture is unchanged.
+    seam_floor = tail_end + timedelta(milliseconds=1)
     new_tps = tail_tps + [
-        dataclasses.replace(tp, offset=tp.offset + delta)
+        dataclasses.replace(tp, offset=max(tp.offset + delta, seam_floor))
         for tp in fix_bm.timing_points
     ]
     new_objs = list(tail_objs) + [shift_obj(o) for o in fix_objs]
