@@ -340,6 +340,14 @@ def build_train_parser() -> argparse.ArgumentParser:
     _bool_flag(parser, "multihost", False)
     _bool_flag(parser, "scan-blocks", d.scan_blocks)
     _bool_flag(parser, "remat", d.remat)
+    parser.add_argument("--mlp-bwd", choices=["fused", "xla"], default=d.mlp_bwd,
+                        help="adaLN-MLP kernel backward (use_pallas only): "
+                             "plain-jnp 'xla' (measured default) or the "
+                             "Pallas fused reduction/LN-backward kernels")
+    parser.add_argument("--pallas-ops", default=d.pallas_ops,
+                        help="which ops --use-pallas fuses: attn,mlp / attn / "
+                             "mlp (mlp-only keeps XLA dense attention — the "
+                             "short-T training configuration)")
     return parser
 
 
@@ -379,5 +387,7 @@ def train_main(args) -> dict:
         remat=args.remat,
         band=args.band,
         context_parallel=args.context_parallel,
+        mlp_bwd=args.mlp_bwd,
+        pallas_ops=args.pallas_ops,
     )
     return train(config)

@@ -217,6 +217,12 @@ class DiTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     attn_layout: str = "packed"
+    mlp_bwd: str = "xla"
+    # which ops use_pallas=True actually fuses ("attn,mlp" / "attn" / "mlp"):
+    # at short T the XLA dense attention beats the banded flash kernel (whose
+    # win is O(T*band) memory at long T), so mlp-only is the short-T training
+    # configuration
+    pallas_ops: str = "attn,mlp"
 
     @nn.compact
     def __call__(
@@ -240,28 +246,34 @@ class DiTBlock(nn.Module):
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
             mod, 6, axis=-1
         )
+        ops = self.pallas_ops.split(",")
+        use_pallas_attn = use_pallas and "attn" in ops
+        use_pallas_mlp = use_pallas and "mlp" in ops
         h = modulate(layer_norm(x), shift_msa, scale_msa)
         attn = SelfAttention(
             self.hidden_size, self.num_heads, self.attn_layout, name="attn"
         )(
-            h, mask, band, use_pallas, valid_len, cp_mesh, cp_axis
+            h, mask, band, use_pallas_attn, valid_len, cp_mesh, cp_axis
         )
         x = x + gate_msa[:, None, :] * attn
 
         mlp_hidden = int(self.hidden_size * self.mlp_ratio)
         w1, b1 = DenseParams(self.hidden_size, mlp_hidden, name="mlp_fc1")()
         w2, b2 = DenseParams(mlp_hidden, self.hidden_size, name="mlp_fc2")()
-        if use_pallas:
+        if use_pallas_mlp:
             from osu_diffusion_tpu.ops.pallas_mlp import adaln_mlp
 
             # mod vectors go in f32: the kernel row-indexes the (N, D) arrays
             # dynamically, and Mosaic cannot prove sublane alignment for bf16
             # (16-row tiles) there; they are tiny and the kernel computes in
             # f32 anyway
+            from osu_diffusion_tpu.ops.pallas_mlp import DEFAULT_BLOCK_T
+
             f32 = jnp.float32
             x = adaln_mlp(
                 x, shift_mlp.astype(f32), scale_mlp.astype(f32),
                 gate_mlp.astype(f32), w1, b1, w2, b2,
+                DEFAULT_BLOCK_T, 1e-6, jnp.bfloat16, self.mlp_bwd,
             )
         else:
             h = modulate(layer_norm(x), shift_mlp, scale_mlp)
@@ -325,6 +337,20 @@ class DiTConfig:
     # checkpoint layout unchanged. Perf experiment vs the profiled
     # qkv-split/transpose residue.
     attn_layout: str = "packed"
+    # MLP-kernel backward implementation (use_pallas only): "xla" (plain-jnp
+    # backward over the saved residuals — the measured default) or "fused"
+    # (Pallas stage-1/stage-2 kernels folding the bias/modulation-gradient
+    # reductions + LayerNorm backward into the input-grad matmuls). The fused
+    # variant targeted the profiled ~6% reduction residue but measured SLOWER
+    # on v5e — DiT-B b256 T=128: 3.60 vs 4.21 steps/s; b16 T=1024 band 128:
+    # 92 vs 118 samples/s — Mosaic's transposed-operand matmuls lose more than
+    # the saved reduction passes gain (PARITY.md "Fused MLP backward").
+    mlp_bwd: str = "xla"
+    # which ops use_pallas=True fuses: "attn,mlp" / "attn" / "mlp". At short T
+    # XLA dense attention beats the banded flash kernel (whose win is the
+    # O(T*band) memory footprint at long T), so "mlp" is the short-T training
+    # configuration; the flash kernel earns its keep from T >~ 512.
+    pallas_ops: str = "attn,mlp"
     # partial unrolling of the block scan: trace `scan_unroll` blocks per scan
     # iteration — recovers cross-layer XLA optimization (the source of the
     # scan runtime gap) while keeping most of the compile-time win. depth must
@@ -404,7 +430,7 @@ class DiT(nn.Module):
             x, _ = scan(
                 DiTBlock(
                     cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
-                    cfg.attn_layout, name="blocks"
+                    cfg.attn_layout, cfg.mlp_bwd, cfg.pallas_ops, name="blocks"
                 ),
                 x,
                 None,
@@ -416,7 +442,7 @@ class DiT(nn.Module):
             for i in range(cfg.depth):
                 block = DiTBlock(
                     cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
-                    cfg.attn_layout, name=f"blocks_{i}"
+                    cfg.attn_layout, cfg.mlp_bwd, cfg.pallas_ops, name=f"blocks_{i}"
                 )
                 x = run_block(block, x, cond, attn_mask)
         return FinalLayer(cfg.hidden_size, cfg.out_channels, name="final_layer")(x, cond)

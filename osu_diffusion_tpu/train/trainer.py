@@ -76,6 +76,12 @@ class TrainConfig:
     profile_dir: str | None = None  # write a jax.profiler trace of early steps
     profile_steps: int = 3  # device dispatches to capture
     multihost: bool = False  # call jax.distributed.initialize() (DCN across hosts)
+    # adaLN-MLP kernel backward (use_pallas only): "xla" plain-jnp (measured
+    # faster) or "fused" Pallas reduction/LN-backward kernels
+    mlp_bwd: str = "xla"
+    # which ops use_pallas fuses: "attn,mlp" / "attn" / "mlp" — mlp-only keeps
+    # XLA dense attention (faster at short T; flash attention wins at long T)
+    pallas_ops: str = "attn,mlp"
     scan_blocks: bool = False  # nn.scan over depth: 4.4x faster compiles, ~10% runtime cost
     # rematerialize each block in backward (jax.checkpoint). With use_pallas
     # the fused kernels' custom VJPs already store only block inputs + the
@@ -153,6 +159,8 @@ def train(config: TrainConfig) -> dict:
         class_dropout_prob=config.class_dropout_prob,
         scan_blocks=config.scan_blocks,
         remat=config.remat,
+        mlp_bwd=config.mlp_bwd,
+        pallas_ops=config.pallas_ops,
     )
     diffusion = create_diffusion(
         timestep_respacing="",

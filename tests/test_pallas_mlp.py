@@ -58,11 +58,12 @@ def test_matches_dit_block_mlp_half():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
-def test_gradients_match_reference():
+@pytest.mark.parametrize("bwd_impl", ["xla", "fused"])
+def test_gradients_match_reference(bwd_impl):
     args = _inputs(t=8, d=16, h=32)
 
     def loss_kernel(*a):
-        return jnp.sum(pm.adaln_mlp(*a, 8, 1e-6, jnp.float32) ** 2)
+        return jnp.sum(pm.adaln_mlp(*a, 8, 1e-6, jnp.float32, bwd_impl) ** 2)
 
     def loss_ref(*a):
         return jnp.sum(pm._reference_impl(*a, eps=1e-6) ** 2)
@@ -114,3 +115,42 @@ def test_gradients_match_reference_multi_h_block():
     g_want = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
     for a, b in zip(g_got, g_want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("t,block_t,h", [(16, 16, 64), (20, 16, 64), (24, 8, 128)])
+def test_fused_backward_matches_xla(t, block_t, h):
+    """The Pallas fused backward (stage-1/stage-2 kernels) must produce the
+    same cotangents as the plain-jnp backward for an arbitrary upstream grad,
+    including ragged T (zero-padded tail) and multi-batch accumulation."""
+    args = _inputs(t=t, h=h, n=3)
+    d = args[0].shape[2]
+    g = jax.random.normal(jax.random.PRNGKey(9), (3, t, d))
+
+    def run(impl):
+        f = lambda *a: pm.adaln_mlp(*a, block_t, 1e-6, jnp.float32, impl)
+        out, vjp = jax.vjp(f, *args)
+        return out, vjp(g)
+
+    out_f, grads_f = run("fused")
+    out_x, grads_x = run("xla")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=1e-5)
+    for a, b in zip(grads_f, grads_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
+
+
+def test_fused_backward_multi_h_block():
+    """Explicit small block_h exercises the cross-H-block accumulation paths
+    (db1 rows, the dh1 VMEM scratch, k==last epilogue) that the default
+    block_h picker collapses to one block at toy sizes."""
+    args = _inputs(t=20, d=16, h=64, n=3)
+    out, res = pm._fwd(*args, 8, 1e-6, jnp.float32, "fused")
+    g = jax.random.normal(jax.random.PRNGKey(11), out.shape)
+    got = pm._bwd_fused_impl(res, g, 8, 1e-6, jnp.float32, block_h=16)
+    want = pm._bwd(8, 1e-6, jnp.float32, res, g)
+    assert len(got) == len(want) == 8
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )

@@ -66,6 +66,13 @@ def main() -> None:
                         default="packed",
                         help="attention projection layout experiment: einsum "
                              "folds the head transposes into the matmuls")
+    parser.add_argument("--mlp-bwd", choices=["fused", "xla"], default="xla",
+                        help="adaLN-MLP kernel backward: Pallas fused "
+                             "reduction/LN-backward kernels vs plain-jnp "
+                             "(only meaningful with --use-pallas)")
+    parser.add_argument("--pallas-ops", default="attn,mlp",
+                        help="which ops --use-pallas fuses: attn,mlp / attn / "
+                             "mlp (mlp-only keeps XLA dense attention)")
     parser.add_argument("--band", type=int, default=None,
                         help="banded attention half-width (long-sequence "
                              "fine-tuning shape); defaults to seq-len when "
@@ -87,6 +94,7 @@ def main() -> None:
         num_classes=args.num_classes, context_size=CONTEXT_SIZE,
         class_dropout_prob=0.2, remat=not args.no_remat,
         scan_blocks=args.scan_blocks, attn_layout=args.attn_layout,
+        mlp_bwd=args.mlp_bwd, pallas_ops=args.pallas_ops,
     )
     diffusion = create_diffusion("", noise_schedule="squaredcos_cap_v2", use_l1=True)
     opt = make_optimizer()
