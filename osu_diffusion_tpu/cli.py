@@ -351,11 +351,12 @@ def build_train_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def train_main(args) -> dict:
-    from osu_diffusion_tpu.train.trainer import TrainConfig, train
-
+def train_config_kwargs(args) -> dict:
+    """Parsed train-CLI args -> TrainConfig kwargs. Shared by train_main and
+    the root train_nodist.py wrapper (which overrides max_timestep=1) so the
+    two cannot drift when flags are added."""
     use_bf16 = args.use_bf16 if args.use_amp is None else args.use_amp
-    config = TrainConfig(
+    return dict(
         data_path=args.data_path,
         num_classes=args.num_classes,
         data_start=args.data_start,
@@ -390,4 +391,9 @@ def train_main(args) -> dict:
         mlp_bwd=args.mlp_bwd,
         pallas_ops=args.pallas_ops,
     )
-    return train(config)
+
+
+def train_main(args) -> dict:
+    from osu_diffusion_tpu.train.trainer import TrainConfig, train
+
+    return train(TrainConfig(**train_config_kwargs(args)))

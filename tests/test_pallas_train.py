@@ -74,3 +74,45 @@ def test_param_grads_match_xla_path(remat):
             np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+@pytest.mark.parametrize(
+    "pallas_ops,mlp_bwd",
+    [("mlp", "xla"), ("mlp", "fused"), ("attn", "xla"), ("attn,mlp", "fused")],
+)
+def test_pallas_ops_granularity_grads_match(pallas_ops, mlp_bwd):
+    """Every use_pallas op subset (--pallas-ops) and both MLP backwards
+    (--mlp-bwd) must produce the same parameter gradients as the dense XLA
+    path — the guarantee behind the trainer's per-op kernel selection."""
+    from osu_diffusion_tpu.models.dit import DiT, DiTConfig
+
+    _, params, (x, ts, o, c, y) = _setup(remat=False)
+    t = x.shape[1]
+
+    def grads(pallas_ops_cfg, mlp_bwd_cfg, use_pallas):
+        model = DiT(DiTConfig(
+            hidden_size=32, depth=2, num_heads=2, num_classes=5,
+            context_size=144, class_dropout_prob=0.1, remat=False,
+            pallas_ops=pallas_ops_cfg, mlp_bwd=mlp_bwd_cfg,
+        ))
+
+        def loss(p):
+            out = model.apply(
+                {"params": p}, x, ts, o, c, y, train=True,
+                band=t if use_pallas else None, use_pallas=use_pallas,
+                rngs={"label_dropout": jax.random.PRNGKey(3)},
+            )
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return jax.grad(loss)(params)
+
+    g_xla = grads("attn,mlp", "xla", use_pallas=False)
+    g_sel = grads(pallas_ops, mlp_bwd, use_pallas=True)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_xla)
+    flat_s = jax.tree.leaves(g_sel)
+    assert len(flat_x) == len(flat_s)
+    for (path, a), b in zip(flat_x, flat_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
