@@ -83,6 +83,16 @@ def build_sample_parser() -> argparse.ArgumentParser:
     _bool_flag(parser, "use-amp", True)
     parser.add_argument("--sampling-method", type=str, default="ancestral",
                         choices=["ancestral", "ddim"])
+    parser.add_argument("--accel-interval", type=int, default=1,
+                        help="Δ-cache accelerated sampling (opt-in, "
+                             "approximate): run the full model every Nth "
+                             "denoise step, reuse the cached middle-block "
+                             "residual in between (Δ-DiT-style). 1 = exact "
+                             "sampling; implies the unrolled block layout")
+    parser.add_argument("--accel-span", type=int, nargs=2, default=None,
+                        metavar=("LO", "HI"),
+                        help="block range [LO, HI) the Δ-cache covers "
+                             "(default: the middle two-thirds of the depth)")
     return parser
 
 
@@ -124,9 +134,13 @@ def sample_main(args) -> list[str]:
     seq_o = seq_o - seq_o[0]
     print(f"seq len {seq_len}")
 
+    # Δ-cache acceleration statically slices the depth loop, so it needs the
+    # unrolled block layout; restore_params_any converts scan-layout
+    # checkpoints in-memory either way
+    scan_blocks = args.scan_blocks and args.accel_interval <= 1
     model = DiT_models[args.model](
         num_classes=args.num_classes, context_size=CONTEXT_SIZE,
-        scan_blocks=args.scan_blocks,
+        scan_blocks=scan_blocks,
     )
     params = restore_params_any(args.ckpt, model)
     diffusion = create_diffusion(
@@ -150,6 +164,8 @@ def sample_main(args) -> list[str]:
         model, diffusion, cfg_scale=args.cfg_scale, band=args.seq_len,
         use_pallas=args.use_pallas, method=args.sampling_method,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32,
+        accel_interval=args.accel_interval,
+        accel_span=tuple(args.accel_span) if args.accel_span else None,
     )
 
     n = len(class_labels)

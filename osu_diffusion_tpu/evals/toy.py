@@ -173,10 +173,17 @@ def main(argv=None):
     parser.add_argument("--seq-len", type=int, default=None)
     parser.add_argument("--noise-schedule", type=str, default="squaredcos_cap_v2")
     parser.add_argument("--assets-dir", type=str, default=None)
+    parser.add_argument("--accel-interval", type=int, default=1,
+                        help="Δ-cache accelerated sampling (see Sampler): "
+                             "full model every Nth step, cached middle-block "
+                             "residual in between; 1 = exact")
+    parser.add_argument("--accel-span", type=int, nargs=2, default=None,
+                        metavar=("LO", "HI"))
     args = parser.parse_args(argv)
 
     model = DiT_models[args.model](
-        num_classes=args.num_classes, context_size=CONTEXT_SIZE
+        num_classes=args.num_classes, context_size=CONTEXT_SIZE,
+        scan_blocks=False,
     )
     params = restore_params_any(args.ckpt, model)
     diffusion = create_diffusion(
@@ -186,7 +193,11 @@ def main(argv=None):
     # reference masks beyond +-seq_len neighbours whenever the example length
     # exceeds the window (test_toy.py:37-42). At T <= band this equals full
     # attention, so the default matches the reference's seq_len-128 protocol.
-    sampler = Sampler(model, diffusion, band=args.seq_len or 128)
+    sampler = Sampler(
+        model, diffusion, band=args.seq_len or 128,
+        accel_interval=args.accel_interval,
+        accel_span=tuple(args.accel_span) if args.accel_span else None,
+    )
     rng = jax.random.PRNGKey(args.seed)
 
     if args.generate is not None:

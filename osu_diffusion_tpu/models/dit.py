@@ -393,11 +393,46 @@ class DiT(nn.Module):
         cp_mesh=None,
         cp_axis: str = "model",
         dtype=None,
+        delta_mode: str = "off",
+        delta_span: tuple[int, int] | None = None,
+        delta: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """`dtype`: residual-stream computation dtype (bf16 for training and
         fast serving). Inputs x/o/c stay full-precision — FirstLayer's sincos
-        embeddings need them — and the stream drops to `dtype` after."""
+        embeddings need them — and the stream drops to `dtype` after.
+
+        Δ-cache acceleration (delta_mode/delta_span/delta): cross-denoise-step
+        feature reuse in the style of Δ-DiT (arXiv:2406.01125) / BlockDance
+        (arXiv:2503.15927) — adjacent diffusion timesteps produce nearly
+        identical middle-block features, so their combined residual
+        contribution Δ = x_out(hi-1) - x_in(lo) can be cached on a full step
+        and reused on the next. Static modes (each its own compiled trace, no
+        reference equivalent):
+
+        - "off" (default): plain forward, returns the output array.
+        - "record": run all blocks, also return Δ over the block span
+          [lo, hi) as a second output.
+        - "apply": run blocks [0, lo), add the caller's `delta` in place of
+          blocks [lo, hi), run [hi, depth) — the mid blocks are never
+          executed. Returns (out, delta-unchanged) so both modes are
+          lax.cond-compatible branches.
+
+        Requires the unrolled block layout (scan_blocks=False): the mid-block
+        skip is a static slice of the depth loop."""
         cfg = self.config
+        if delta_mode not in ("off", "record", "apply"):
+            raise ValueError(f"unknown delta_mode: {delta_mode}")
+        if delta_mode != "off":
+            assert not cfg.scan_blocks, (
+                "delta-cache sampling requires the unrolled block layout "
+                "(scan_blocks=False); convert params with "
+                "checkpoint.stacked_to_unrolled/restore_params_any"
+            )
+            assert delta_span is not None
+            lo, hi = delta_span
+            assert 0 <= lo < hi <= cfg.depth, (delta_span, cfg.depth)
+            if delta_mode == "apply":
+                assert delta is not None
         x = FirstLayer(cfg.hidden_size, name="xoc_embedder")(x, o, c, dtype=dtype)
         t_emb = TimestepEmbedder(cfg.hidden_size, name="t_embedder")(t)
         y_emb = LabelEmbedder(
@@ -439,13 +474,26 @@ class DiT(nn.Module):
             run_block = (
                 nn.remat(block_call, prevent_cse=False) if use_remat else block_call
             )
+            snap = None
+            new_delta = delta
             for i in range(cfg.depth):
+                if delta_mode == "apply" and lo <= i < hi:
+                    if i == lo:
+                        x = x + delta.astype(x.dtype)
+                    continue  # cached span: blocks_{lo..hi-1} never execute
+                if delta_mode == "record" and i == lo:
+                    snap = x
                 block = DiTBlock(
                     cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
                     cfg.attn_layout, cfg.mlp_bwd, cfg.pallas_ops, name=f"blocks_{i}"
                 )
                 x = run_block(block, x, cond, attn_mask)
-        return FinalLayer(cfg.hidden_size, cfg.out_channels, name="final_layer")(x, cond)
+                if delta_mode == "record" and i == hi - 1:
+                    new_delta = x - snap
+        out = FinalLayer(cfg.hidden_size, cfg.out_channels, name="final_layer")(x, cond)
+        if delta_mode != "off":
+            return out, new_delta
+        return out
 
     def forward_with_cfg(
         self,
@@ -462,12 +510,16 @@ class DiT(nn.Module):
         cp_mesh=None,
         cp_axis: str = "model",
         dtype=None,
+        delta_mode: str = "off",
+        delta_span: tuple[int, int] | None = None,
+        delta: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """Classifier-free-guidance batched forward. Parity: models.py:327-343.
 
         The batch is [cond | uncond] halves sharing the same first-half x;
         guidance is applied to the eps channels ONLY (reference quirk,
-        models.py:338-342).
+        models.py:338-342). delta_mode/delta_span/delta: Δ-cache passthrough
+        (see __call__); the cached Δ covers the CFG-doubled batch.
         """
         cfg = self.config
         half = x[: x.shape[0] // 2]
@@ -476,7 +528,10 @@ class DiT(nn.Module):
             combined, t, o, c, y, train=False,
             attn_mask=attn_mask, band=band, use_pallas=use_pallas,
             valid_len=valid_len, cp_mesh=cp_mesh, cp_axis=cp_axis, dtype=dtype,
+            delta_mode=delta_mode, delta_span=delta_span, delta=delta,
         )
+        if delta_mode != "off":
+            model_out, new_delta = model_out
         eps, rest = (
             model_out[..., : cfg.in_channels],
             model_out[..., cfg.in_channels :],
@@ -484,7 +539,10 @@ class DiT(nn.Module):
         cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
         half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
         eps = jnp.concatenate([half_eps, half_eps], axis=0)
-        return jnp.concatenate([eps, rest], axis=-1)
+        out = jnp.concatenate([eps, rest], axis=-1)
+        if delta_mode != "off":
+            return out, new_delta
+        return out
 
 
 def DiT_XL(**kwargs) -> DiT:

@@ -57,6 +57,8 @@ class Sampler:
         cp_mesh=None,
         cp_axis: str = "model",
         compute_dtype=jnp.float32,
+        accel_interval: int = 1,
+        accel_span: tuple[int, int] | None = None,
     ):
         """`cp_mesh`/`cp_axis`: context parallelism — shard the sequence over
         the mesh axis for lengths beyond one chip (parallel/context.py).
@@ -67,7 +69,17 @@ class Sampler:
         output parity with the reference harness; bf16 halves activation
         traffic for faster serving (the diffusion chain itself — coefficient
         math, clamping, noise — always runs f32; only the DiT forward drops
-        precision, and its head returns f32 either way)."""
+        precision, and its head returns f32 either way).
+
+        `accel_interval`/`accel_span`: Δ-cache accelerated sampling (opt-in,
+        approximate — Δ-DiT arXiv:2406.01125 / BlockDance arXiv:2503.15927
+        style cross-step feature reuse; no reference equivalent). Every
+        `accel_interval`-th denoise step (and the final step) runs the full
+        model and records the residual contribution Δ of the middle block
+        span [lo, hi); the steps in between skip those blocks and reuse Δ.
+        interval=1 (default) is exact sampling. `accel_span` defaults to the
+        middle two-thirds of the depth. Requires the unrolled block layout
+        (model built with scan_blocks=False)."""
         self.model = model
         self.diffusion = diffusion
         self.cfg_scale = float(cfg_scale)
@@ -87,6 +99,26 @@ class Sampler:
         self.bucket = bucket
         self.clip_denoised = clip_denoised
         self.compute_dtype = compute_dtype
+        self.accel_interval = int(accel_interval)
+        if self.accel_interval > 1:
+            if cp_mesh is not None:
+                raise ValueError(
+                    "accel_interval > 1 is not supported with context "
+                    "parallelism (the Δ carry is per-device state)"
+                )
+            depth = model.config.depth
+            if model.config.scan_blocks:
+                raise ValueError(
+                    "accel_interval > 1 needs the unrolled block layout: build "
+                    "the model with scan_blocks=False (restore_params_any "
+                    "converts checkpoints between layouts)"
+                )
+            if accel_span is None:
+                accel_span = (depth // 6, depth - depth // 6)
+            lo, hi = accel_span
+            if not (0 <= lo < hi <= depth):
+                raise ValueError(f"accel_span {accel_span} outside depth {depth}")
+        self.accel_span = accel_span
         if method not in ("ancestral", "ddim"):
             raise ValueError(f"unknown sampling method: {method}")
         self.method = method
@@ -156,7 +188,96 @@ class Sampler:
                 denoised_fn=denoised_fn,
             )
 
+        if self.accel_interval > 1:
+            return jax.jit(
+                self._accel_sample_fn(n, t_pad, inpaint, use_cfg, mask)
+            )
         return jax.jit(sample)
+
+    def _accel_sample_fn(
+        self, n: int, t_pad: int, inpaint: bool, use_cfg: bool, mask
+    ) -> Callable:
+        """Δ-cache accelerated chain: the Sampler runs its own lax.scan over
+        diffusion.p_sample/ddim_sample steps, carrying (x, Δ). Each step is a
+        lax.cond between two static model traces — "record" (full depth,
+        emits a fresh Δ over `accel_span`) and "apply" (front + Δ + back; the
+        span's blocks never execute). The skip schedule is data: a
+        precomputed flag per chain position, full every `accel_interval`-th
+        step and on the final step (detail forms late in the chain)."""
+        band = self.band
+        use_pallas = self.use_pallas and band is not None
+        dtype = self.compute_dtype
+        span = self.accel_span
+        hidden = self.model.config.hidden_size
+        diffusion = self.diffusion
+        s = diffusion.num_timesteps
+        flags = np.arange(s) % self.accel_interval != 0
+        flags[-1] = False  # final step always full
+        flags = jnp.asarray(flags)
+
+        def sample(params, z, o, c, y, rng, known_x, known_mask, valid_len):
+            def run_model(x, t, delta, delta_mode):
+                kwargs = dict(
+                    attn_mask=mask,
+                    band=band if use_pallas else None,
+                    use_pallas=use_pallas,
+                    valid_len=valid_len,
+                    dtype=dtype,
+                    delta_mode=delta_mode,
+                    delta_span=span,
+                    delta=delta,
+                )
+                if use_cfg:
+                    kwargs.update(
+                        cfg_scale=self.cfg_scale, method=DiT.forward_with_cfg
+                    )
+                out, new_delta = self.model.apply(
+                    {"params": params}, x, t, o, c, y, **kwargs
+                )
+                return out.astype(jnp.float32), new_delta.astype(dtype)
+
+            denoised_fn = None
+            if inpaint:
+                denoised_fn = lambda x0: jnp.where(known_mask, x0, known_x)
+
+            step_fn = (
+                diffusion.ddim_sample
+                if self.method == "ddim"
+                else diffusion.p_sample
+            )
+            steps = jnp.arange(s - 1, -1, -1)
+            rngs = jax.random.split(rng, s)
+            delta0 = jnp.zeros((n, t_pad, hidden), dtype)
+
+            def body(carry, xs):
+                x, delta = carry
+                i, r, flag = xs
+                t = jnp.full((n,), i, dtype=jnp.int32)
+                # p_sample/ddim_sample call model_fn exactly once, so the new
+                # Δ can ride out through a closure cell
+                cell = {}
+
+                def model_fn(xx, tt):
+                    out, new_delta = jax.lax.cond(
+                        flag,
+                        lambda op: run_model(op[0], tt, op[1], "apply"),
+                        lambda op: run_model(op[0], tt, op[1], "record"),
+                        (xx, delta),
+                    )
+                    cell["delta"] = new_delta
+                    return out
+
+                out = step_fn(
+                    model_fn, x, t, r, clip_denoised=self.clip_denoised,
+                    denoised_fn=denoised_fn,
+                )
+                assert "delta" in cell, "model_fn was never called"
+                return (out["sample"], cell["delta"]), None
+
+            (final, _), _ = jax.lax.scan(body, (z, delta0), (steps, rngs, flags))
+            return final
+
+        return sample
 
     # -- public API ----------------------------------------------------------
 

@@ -1,0 +1,223 @@
+"""Δ-cache accelerated sampling (Sampler accel_interval / DiT delta_mode).
+
+Pins the two-trace contract behind the lax.cond in Sampler._accel_sample_fn:
+
+- "record" is the plain forward plus a Δ side-output (bit-identical out);
+- "apply" with a Δ recorded from the SAME input reproduces the full forward
+  exactly (front(x) + Δ == mid-output by construction);
+- the accelerated chain equals the exact chain when the model's contribution
+  is input-independent (adaLN-Zero init), and differs (i.e. the skip branch
+  really runs) once the mid blocks carry signal.
+
+The technique is Δ-DiT (arXiv:2406.01125) / BlockDance (arXiv:2503.15927)
+style cross-step feature reuse — an opt-in approximation with no reference
+equivalent (reference sample.py runs the full model every step).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osu_diffusion_tpu import CONTEXT_SIZE
+from osu_diffusion_tpu.diffusion import create_diffusion
+from osu_diffusion_tpu.models.dit import DiT, DiTConfig
+from osu_diffusion_tpu.sampling import Sampler, prepare_cfg_inputs
+
+DEPTH = 4
+SPAN = (1, 3)
+
+
+def _model(scan_blocks=False):
+    return DiT(DiTConfig(
+        hidden_size=32, depth=DEPTH, num_heads=2, num_classes=5,
+        context_size=CONTEXT_SIZE, class_dropout_prob=0.1,
+        scan_blocks=scan_blocks,
+    ))
+
+
+def _inputs(n=2, t=16, seed=0):
+    r = np.random.RandomState(seed)
+    x = jnp.asarray(r.rand(n, t, 2), jnp.float32)
+    ts = jnp.asarray(r.randint(0, 1000, (n,)))
+    o = jnp.asarray(np.cumsum(r.rand(n, t) * 300, axis=1), jnp.float32)
+    c = jnp.asarray(r.rand(n, t, CONTEXT_SIZE), jnp.float32)
+    y = jnp.asarray(r.randint(0, 5, (n,)))
+    return x, ts, o, c, y
+
+
+def _jitter(params, scale=0.05, seed=7):
+    leaves, td = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    return jax.tree_util.tree_unflatten(
+        td, [l + scale * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)]
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = _model()
+    x, ts, o, c, y = _inputs()
+    params = _jitter(model.init(jax.random.PRNGKey(0), x, ts, o, c, y)["params"])
+    return model, params, (x, ts, o, c, y)
+
+
+def test_record_matches_plain_forward(setup):
+    model, params, (x, ts, o, c, y) = setup
+    out_off = model.apply({"params": params}, x, ts, o, c, y)
+    out_rec, delta = model.apply(
+        {"params": params}, x, ts, o, c, y,
+        delta_mode="record", delta_span=SPAN,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_rec), np.asarray(out_off), rtol=1e-6, atol=1e-7
+    )
+    assert delta.shape == (x.shape[0], x.shape[1], 32)
+    assert float(jnp.abs(delta).max()) > 0
+
+
+def test_apply_with_fresh_delta_is_exact(setup):
+    """Same input + just-recorded Δ ⇒ the apply trace reproduces the full
+    forward: front(x) is identical, so front(x) + (mid(front(x)) - front(x))
+    IS the mid output; only float reassociation separates them."""
+    model, params, (x, ts, o, c, y) = setup
+    out_full, delta = model.apply(
+        {"params": params}, x, ts, o, c, y,
+        delta_mode="record", delta_span=SPAN,
+    )
+    out_skip, delta2 = model.apply(
+        {"params": params}, x, ts, o, c, y,
+        delta_mode="apply", delta_span=SPAN, delta=delta,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_skip), np.asarray(out_full), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(delta2), np.asarray(delta))
+
+
+def test_apply_skips_mid_blocks(setup):
+    """The apply trace must not read the cached span's parameters: zeroing
+    blocks_1/blocks_2 changes the full forward but not the apply forward."""
+    model, params, (x, ts, o, c, y) = setup
+    _, delta = model.apply(
+        {"params": params}, x, ts, o, c, y,
+        delta_mode="record", delta_span=SPAN,
+    )
+    butchered = jax.tree_util.tree_map_with_path(
+        lambda p, v: jnp.zeros_like(v)
+        if any(jax.tree_util.keystr((k,)) in ("['blocks_1']", "['blocks_2']")
+               for k in p)
+        else v,
+        params,
+    )
+    out_skip, _ = model.apply(
+        {"params": params}, x, ts, o, c, y,
+        delta_mode="apply", delta_span=SPAN, delta=delta,
+    )
+    out_skip_b, _ = model.apply(
+        {"params": butchered}, x, ts, o, c, y,
+        delta_mode="apply", delta_span=SPAN, delta=delta,
+    )
+    np.testing.assert_array_equal(np.asarray(out_skip), np.asarray(out_skip_b))
+    out_full = model.apply({"params": params}, x, ts, o, c, y)
+    out_full_b = model.apply({"params": butchered}, x, ts, o, c, y)
+    assert not np.allclose(np.asarray(out_full), np.asarray(out_full_b))
+
+
+def test_cfg_forward_delta_roundtrip(setup):
+    model, params, (x, ts, o, c, y) = setup
+    out_full, delta = model.apply(
+        {"params": params}, x, ts, o, c, y, 2.0,
+        delta_mode="record", delta_span=SPAN,
+        method=DiT.forward_with_cfg,
+    )
+    out_skip, _ = model.apply(
+        {"params": params}, x, ts, o, c, y, 2.0,
+        delta_mode="apply", delta_span=SPAN, delta=delta,
+        method=DiT.forward_with_cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_skip), np.asarray(out_full), rtol=1e-4, atol=1e-5
+    )
+
+
+def _chain_inputs(num_classes=5, n=2, t=16):
+    r = np.random.RandomState(3)
+    z, o, c, y = prepare_cfg_inputs(
+        r.rand(1, t, 2).astype(np.float32),
+        np.cumsum(r.rand(1, t) * 300, axis=1).astype(np.float32),
+        r.rand(1, t, CONTEXT_SIZE).astype(np.float32),
+        [1], num_classes, jax.random.PRNGKey(11),
+    )
+    return z, o, c, y
+
+
+@pytest.mark.parametrize("method", ["ancestral", "ddim"])
+def test_accel_chain_equals_exact_at_identity_init(method):
+    """adaLN-Zero init makes every block (and the head) a no-op, so skipping
+    mid blocks cannot change anything: the accelerated chain must follow the
+    exact chain bit-for-bit — this pins the whole accel scan plumbing
+    (flags, carry, cond, diffusion step wiring) against the exact path."""
+    model = _model()
+    z, o, c, y = _chain_inputs()
+    params = model.init(jax.random.PRNGKey(0), z, jnp.zeros((2,), jnp.int32),
+                        o, c, y)["params"]
+    diffusion = create_diffusion("10", noise_schedule="squaredcos_cap_v2")
+    exact = Sampler(model, diffusion, cfg_scale=1.5, bucket=16, method=method)
+    accel = Sampler(model, diffusion, cfg_scale=1.5, bucket=16, method=method,
+                    accel_interval=2, accel_span=SPAN)
+    rng = jax.random.PRNGKey(4)
+    out_e = exact(params, z, o, c, y, rng)
+    out_a = accel(params, z, o, c, y, rng)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_e), atol=1e-6)
+
+
+def test_accel_chain_runs_and_approximates():
+    """With real (jittered) weights the skip branch actually executes: the
+    accelerated chain differs from the exact one but stays in the same range
+    (clip_denoised bounds both), and is deterministic."""
+    model = _model()
+    z, o, c, y = _chain_inputs()
+    params = _jitter(model.init(
+        jax.random.PRNGKey(0), z, jnp.zeros((2,), jnp.int32), o, c, y
+    )["params"])
+    diffusion = create_diffusion("10", noise_schedule="squaredcos_cap_v2")
+    exact = Sampler(model, diffusion, cfg_scale=1.5, bucket=16)
+    accel = Sampler(model, diffusion, cfg_scale=1.5, bucket=16,
+                    accel_interval=2, accel_span=SPAN)
+    rng = jax.random.PRNGKey(4)
+    out_e = exact(params, z, o, c, y, rng)
+    out_a = accel(params, z, o, c, y, rng)
+    assert out_a.shape == out_e.shape
+    assert np.all(np.isfinite(np.asarray(out_a)))
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_e))
+    out_a2 = accel(params, z, o, c, y, rng)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_a2))
+
+
+def test_accel_guards():
+    model = _model(scan_blocks=True)
+    diffusion = create_diffusion("10", noise_schedule="squaredcos_cap_v2")
+    with pytest.raises(ValueError, match="unrolled block layout"):
+        Sampler(model, diffusion, accel_interval=2)
+    with pytest.raises(ValueError, match="outside depth"):
+        Sampler(_model(), diffusion, accel_interval=2, accel_span=(0, 99))
+
+
+def test_accel_inpaint_path():
+    """The denoised_fn (in-paint) hook must survive the accel scan — the toy
+    eval protocol depends on it."""
+    model = _model()
+    z, o, c, y = _chain_inputs()
+    params = _jitter(model.init(
+        jax.random.PRNGKey(0), z, jnp.zeros((2,), jnp.int32), o, c, y
+    )["params"])
+    diffusion = create_diffusion("10", noise_schedule="squaredcos_cap_v2")
+    accel = Sampler(model, diffusion, cfg_scale=1.5, bucket=16,
+                    accel_interval=2, accel_span=SPAN)
+    known = jnp.zeros_like(z)
+    # known_mask semantics (Sampler._build): True = free to generate, False =
+    # pinned to known_x — the tail here is pinned to zeros
+    free = jnp.zeros(z.shape, bool).at[:, :8, :].set(True)
+    out = accel(params, z, o, c, y, jax.random.PRNGKey(4),
+                known_x=known, known_mask=free)
+    np.testing.assert_allclose(np.asarray(out[:, 8:, :]), 0.0, atol=1e-6)

@@ -75,6 +75,33 @@ def test_sample_cli_end_to_end(tiny_registry, tiny_ckpt, tmp_path, method, dtype
         assert abs((a.time - b.time).total_seconds()) < 2e-3
 
 
+def test_sample_cli_accel(tiny_registry, tiny_ckpt, tmp_path):
+    """Δ-cache accelerated sampling end-to-end: --accel-interval forces the
+    unrolled layout, the chain runs the record/apply cond, and the written
+    map still matches the input rhythm skeleton."""
+    from osu_diffusion_tpu.cli import build_sample_parser, sample_main
+
+    beatmap = os.path.join(ASSETS, "geometry", "test - geometry (OliBomby) [test0].osu")
+    results = str(tmp_path / "results")
+    args = build_sample_parser().parse_args([
+        "--beatmap", beatmap,
+        "--ckpt", tiny_ckpt,
+        "--model", tiny_registry,
+        "--num-sampling-steps", "4",
+        "--results-dir", results,
+        "--no-use-pallas",
+        "--accel-interval", "2",
+        "--accel-span", "0", "1",
+    ])
+    written = sample_main(args)
+    assert len(written) == 1
+    from osu_diffusion_tpu.beatmap import Beatmap
+
+    out = Beatmap.from_path(written[0])
+    ref = Beatmap.from_path(beatmap)
+    assert len(out.hit_objects()) == len(ref.hit_objects())
+
+
 def test_sample_cli_style_id(tiny_registry, tiny_ckpt, tmp_path):
     from osu_diffusion_tpu.cli import build_sample_parser, sample_main
 
