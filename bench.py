@@ -28,10 +28,14 @@ def main() -> None:
     from osu_diffusion_tpu.models import DiT_models
     from osu_diffusion_tpu.sampling import Sampler
 
-    # scan-over-depth: same runtime as the unrolled layout (1720 vs 1719
-    # steps/s measured on the chip), 10x faster cold compile (14.5s vs 146s)
+    # Unrolled depth layout: +8% over scan-over-depth for this program
+    # (2165/2154 vs 1993/1988 steps/s, interleaved A/B in one process — XLA
+    # recovers cross-layer fusion the scan body denies it; the round-2
+    # "scan==unrolled (1720 vs 1719)" reading was an artifact of the old
+    # noisy 3-run harness). Cold compile is 48s vs 14.5s, amortized by the
+    # persistent compilation cache.
     model = DiT_models["DiT-B"](
-        num_classes=52670, context_size=CONTEXT_SIZE, scan_blocks=True
+        num_classes=52670, context_size=CONTEXT_SIZE, scan_blocks=False
     )
     steps = 100
     diffusion = create_diffusion(str(steps), noise_schedule="squaredcos_cap_v2")

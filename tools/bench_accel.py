@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Δ-cache accelerated-sampling benchmark (opt-in feature, no ref equivalent).
+
+Same harness as the headline bench (bench.py: DiT-B, batch 2 with CFG
+doubling, T=128, 100 denoise steps, grouped-pipelined measurement) but with
+the unrolled block layout the Δ-cache path requires, at several
+``accel_interval`` settings. interval=1 is the exact chain; interval=k runs
+the full model every k-th step and reuses the recorded middle-span residual
+Δ in between (sampling.py Sampler docstring, Δ-DiT arXiv:2406.01125 style).
+
+Reports per-interval wall-clock chain throughput in the headline unit
+(denoise steps/sec — chain steps completed per second, NOT model calls: the
+accelerated chain does less work per step, which is the point) and the
+speedup over the exact unrolled chain.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--intervals", type=str, default="1,2,3")
+    parser.add_argument("--groups", type=int, default=10)
+    parser.add_argument("--runs", type=int, default=10)
+    parser.add_argument("--model", type=str, default="DiT-B")
+    args = parser.parse_args()
+
+    from osu_diffusion_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    from osu_diffusion_tpu import CONTEXT_SIZE
+    from osu_diffusion_tpu.diffusion import create_diffusion
+    from osu_diffusion_tpu.models import DiT_models
+    from osu_diffusion_tpu.sampling import Sampler
+
+    model = DiT_models[args.model](
+        num_classes=52670, context_size=CONTEXT_SIZE, scan_blocks=False
+    )
+    steps = 100
+    diffusion = create_diffusion(str(steps), noise_schedule="squaredcos_cap_v2")
+
+    t_len = 128
+    n = 2
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng,
+        jnp.zeros((n, t_len, 2)),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n, t_len)),
+        jnp.zeros((n, t_len, CONTEXT_SIZE)),
+        jnp.zeros((n,), jnp.int32),
+    )["params"]
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (n, t_len, 2))
+    o = jnp.cumsum(jnp.ones((n, t_len)) * 150, axis=1)
+    c = jax.random.normal(jax.random.PRNGKey(2), (n, t_len, CONTEXT_SIZE))
+    y = jnp.asarray([1, 52670], dtype=jnp.int32)
+
+    results = {}
+    base = None
+    for interval in [int(s) for s in args.intervals.split(",")]:
+        sampler = Sampler(
+            model,
+            diffusion,
+            cfg_scale=1.0,
+            band=None,
+            bucket=t_len,
+            accel_interval=interval,
+        )
+        t0 = time.perf_counter()
+        out = sampler(params, z, o, c, y, jax.random.PRNGKey(3))
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+
+        per_group = []
+        for g in range(args.groups):
+            start = time.perf_counter()
+            for i in range(args.runs):
+                out = sampler(
+                    params, z, o, c, y,
+                    jax.random.PRNGKey(4 + g * args.runs + i),
+                )
+            jax.block_until_ready(out)
+            per_group.append(
+                steps * args.runs / (time.perf_counter() - start)
+            )
+        best = max(per_group)
+        if interval == 1:
+            base = best
+        results[interval] = {
+            "steps_per_sec_best": round(best, 1),
+            "per_group": [round(v, 1) for v in per_group],
+            "compile_s": round(compile_s, 1),
+            "speedup_vs_exact": round(best / base, 3) if base else None,
+        }
+        print(json.dumps({"interval": interval, **results[interval]}),
+              flush=True)
+
+    print(json.dumps({"model": args.model, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
