@@ -72,12 +72,19 @@ def build_sample_parser() -> argparse.ArgumentParser:
     _bool_flag(parser, "make-animation", False)
     _bool_flag(parser, "use-pallas", True)
     _bool_flag(parser, "augment-flip", False)
-    # default ON for sampling: runtime is identical to the unrolled layout
-    # (1720 vs 1719 steps/s measured) and cold compiles are 10x faster.
-    # Training keeps the unrolled default (remat inside scan cannot be CSE'd
-    # away, costing ~24% there). Checkpoints saved with the other block layout
-    # are converted automatically on restore (restore_params_any).
+    # default ON for sampling: 10x faster cold compiles at ~8% runtime cost
+    # (unrolled measures 2154-2165 vs scan 1988-1993 steps/s, PARITY.md
+    # "Depth-layout A/B" — pass --no-scan-blocks for peak throughput; the
+    # headline bench does). Training keeps the unrolled default (remat inside
+    # scan cannot be CSE'd away, costing ~24% there). Checkpoints saved with
+    # the other block layout are converted automatically on restore
+    # (restore_params_any).
     _bool_flag(parser, "scan-blocks", True)
+    # int8 weight-only serving: block projection weights quantized to
+    # symmetric per-output-channel int8 and read as int8 by a Pallas matmul
+    # kernel (half the HBM weight stream; ops/pallas_quant.py). Approximate
+    # (weight rounding ~0.4%/channel); embedders/final layer stay f32.
+    _bool_flag(parser, "quantize-weights", False)
     # accepted for reference flag parity (sample.py:224); TPU sampling runs
     # fp32 activations with bf16 MXU passes regardless
     _bool_flag(parser, "use-amp", True)
@@ -140,9 +147,20 @@ def sample_main(args) -> list[str]:
     scan_blocks = args.scan_blocks and args.accel_interval <= 1
     model = DiT_models[args.model](
         num_classes=args.num_classes, context_size=CONTEXT_SIZE,
-        scan_blocks=scan_blocks,
+        scan_blocks=scan_blocks, quant=args.quantize_weights,
     )
-    params = restore_params_any(args.ckpt, model)
+    if args.quantize_weights:
+        from osu_diffusion_tpu.models.quantize import quantize_params
+
+        # restore the full-precision tree (against a non-quant twin so the
+        # layout converter sees the expected structure), then quantize
+        base = DiT_models[args.model](
+            num_classes=args.num_classes, context_size=CONTEXT_SIZE,
+            scan_blocks=scan_blocks,
+        )
+        params = quantize_params(restore_params_any(args.ckpt, base))
+    else:
+        params = restore_params_any(args.ckpt, model)
     diffusion = create_diffusion(
         str(args.num_sampling_steps), noise_schedule="squaredcos_cap_v2"
     )

@@ -179,6 +179,10 @@ def main(argv=None):
                              "residual in between; 1 = exact")
     parser.add_argument("--accel-span", type=int, nargs=2, default=None,
                         metavar=("LO", "HI"))
+    parser.add_argument("--quantize-weights", action="store_true",
+                        help="int8 weight-only serving (DiTConfig.quant): "
+                             "measures the accuracy cost of the quantized "
+                             "chain on a trained checkpoint")
     args = parser.parse_args(argv)
 
     model = DiT_models[args.model](
@@ -186,6 +190,14 @@ def main(argv=None):
         scan_blocks=False,
     )
     params = restore_params_any(args.ckpt, model)
+    if args.quantize_weights:
+        from osu_diffusion_tpu.models.quantize import quantize_params
+
+        model = DiT_models[args.model](
+            num_classes=args.num_classes, context_size=CONTEXT_SIZE,
+            scan_blocks=False, quant=True,
+        )
+        params = quantize_params(params)
     diffusion = create_diffusion(
         str(args.num_sampling_steps), noise_schedule=args.noise_schedule
     )

@@ -162,6 +162,7 @@ class SelfAttention(nn.Module):
     hidden_size: int
     num_heads: int
     attn_layout: str = "packed"
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -175,16 +176,63 @@ class SelfAttention(nn.Module):
         cp_axis: str = "model",
     ) -> jnp.ndarray:
         d = self.hidden_size
-        qkv_kernel = self.param("qkv_kernel", xavier, (d, 3 * d))
-        qkv_bias = self.param("qkv_bias", zeros, (3 * d,))
-        out_kernel = self.param("out_kernel", xavier, (d, d))
+        if self.quant:
+            if self.attn_layout != "packed":
+                raise ValueError(
+                    "int8 weight-only serving needs the packed qkv layout "
+                    "(the einsum layout reshapes the kernel per head)"
+                )
+            qkv_kernel = self.param("qkv_kernel_q", int8_zeros, (d, 3 * d))
+            qkv_scale = self.param(
+                "qkv_scale", nn.initializers.ones, (3 * d,), jnp.float32
+            )
+            qkv_bias = self.param("qkv_bias", zeros, (3 * d,))
+            out_kernel = self.param("out_kernel_q", int8_zeros, (d, d))
+            out_scale = self.param(
+                "out_scale", nn.initializers.ones, (d,), jnp.float32
+            )
+            quant_scales = (qkv_scale, out_scale)
+        else:
+            # declaration order is load-bearing: flax folds a per-scope
+            # counter into each param's init rng, so reordering these would
+            # silently change every random init (and the golden parity tests)
+            qkv_kernel = self.param("qkv_kernel", xavier, (d, 3 * d))
+            qkv_bias = self.param("qkv_bias", zeros, (3 * d,))
+            out_kernel = self.param("out_kernel", xavier, (d, d))
+            quant_scales = None
         out_bias = self.param("out_bias", zeros, (d,))
         return multi_head_attention(
             x, qkv_kernel, qkv_bias, out_kernel, out_bias,
             num_heads=self.num_heads, mask=mask, band=band,
             use_pallas=use_pallas, valid_len=valid_len,
             cp_mesh=cp_mesh, cp_axis=cp_axis, layout=self.attn_layout,
+            quant_scales=quant_scales,
         )
+
+
+def int8_zeros(key, shape):
+    return jnp.zeros(shape, jnp.int8)
+
+
+class QuantDenseParams(nn.Module):
+    """int8 weight-only parameter holder ({kernel_q, scale, bias}) for the
+    serving path (DiTConfig.quant). Values come from
+    models.quantize.quantize_params — never trained; the init exists only to
+    define the tree structure."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kq = self.param(
+            "kernel_q", int8_zeros, (self.features_in, self.features_out)
+        )
+        s = self.param(
+            "scale", nn.initializers.ones, (self.features_out,), jnp.float32
+        )
+        b = self.param("bias", zeros, (self.features_out,))
+        return kq, s, b
 
 
 class DenseParams(nn.Module):
@@ -223,6 +271,12 @@ class DiTBlock(nn.Module):
     # win is O(T*band) memory at long T), so mlp-only is the short-T training
     # configuration
     pallas_ops: str = "attn,mlp"
+    # int8 weight-only serving (DiTConfig.quant): the block's projections run
+    # through the ops/pallas_quant kernel reading int8 weights; the attention
+    # CORE (dense or banded flash) is unchanged. With quant, use_pallas
+    # selects only the attention core — the quant MLP kernel replaces the
+    # fused adaLN-MLP kernel.
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -239,25 +293,47 @@ class DiTBlock(nn.Module):
         # dtype=x.dtype keeps the modulation vectors in the stream dtype (the
         # conditioning vector is f32); without it f32 shift/scale/gate would
         # promote the whole residual stream back to f32
-        mod = nn.Dense(
-            6 * self.hidden_size, kernel_init=zeros, bias_init=zeros,
-            name="adaLN", dtype=x.dtype,
-        )(nn.silu(cond))
+        if self.quant:
+            from osu_diffusion_tpu.ops.pallas_quant import int8_matmul
+
+            kq, s, b = QuantDenseParams(
+                self.hidden_size, 6 * self.hidden_size, name="adaLN"
+            )()
+            mod = int8_matmul(nn.silu(cond), kq, s, b, out_dtype=x.dtype)
+        else:
+            mod = nn.Dense(
+                6 * self.hidden_size, kernel_init=zeros, bias_init=zeros,
+                name="adaLN", dtype=x.dtype,
+            )(nn.silu(cond))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
             mod, 6, axis=-1
         )
         ops = self.pallas_ops.split(",")
         use_pallas_attn = use_pallas and "attn" in ops
-        use_pallas_mlp = use_pallas and "mlp" in ops
+        use_pallas_mlp = use_pallas and "mlp" in ops and not self.quant
         h = modulate(layer_norm(x), shift_msa, scale_msa)
         attn = SelfAttention(
-            self.hidden_size, self.num_heads, self.attn_layout, name="attn"
+            self.hidden_size, self.num_heads, self.attn_layout,
+            self.quant, name="attn"
         )(
             h, mask, band, use_pallas_attn, valid_len, cp_mesh, cp_axis
         )
         x = x + gate_msa[:, None, :] * attn
 
         mlp_hidden = int(self.hidden_size * self.mlp_ratio)
+        if self.quant:
+            w1q, s1, b1 = QuantDenseParams(
+                self.hidden_size, mlp_hidden, name="mlp_fc1"
+            )()
+            w2q, s2, b2 = QuantDenseParams(
+                mlp_hidden, self.hidden_size, name="mlp_fc2"
+            )()
+            h = modulate(layer_norm(x), shift_mlp, scale_mlp)
+            h = int8_matmul(
+                h, w1q, s1, b1, activation="gelu_tanh", out_dtype=x.dtype
+            )
+            h = int8_matmul(h, w2q, s2, b2, out_dtype=x.dtype)
+            return x + gate_mlp[:, None, :] * h
         w1, b1 = DenseParams(self.hidden_size, mlp_hidden, name="mlp_fc1")()
         w2, b2 = DenseParams(mlp_hidden, self.hidden_size, name="mlp_fc2")()
         if use_pallas_mlp:
@@ -356,6 +432,14 @@ class DiTConfig:
     # scan runtime gap) while keeping most of the compile-time win. depth must
     # be divisible by it.
     scan_unroll: int = 1
+    # int8 weight-only serving: the blocks' projection weights are stored as
+    # symmetric per-output-channel int8 ({kernel_q, scale}) and read as int8
+    # by the ops/pallas_quant matmul kernel — half the HBM weight stream of
+    # the bf16 copy XLA's loop-invariant hoisting already gives the f32 tree.
+    # Inference-only: build the model with quant=True and convert a trained
+    # tree with models.quantize.quantize_params. Embedders, label table and
+    # the final layer stay full-precision (~2% of weight bytes).
+    quant: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -465,7 +549,8 @@ class DiT(nn.Module):
             x, _ = scan(
                 DiTBlock(
                     cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
-                    cfg.attn_layout, cfg.mlp_bwd, cfg.pallas_ops, name="blocks"
+                    cfg.attn_layout, cfg.mlp_bwd, cfg.pallas_ops,
+                    cfg.quant, name="blocks"
                 ),
                 x,
                 None,
@@ -485,7 +570,8 @@ class DiT(nn.Module):
                     snap = x
                 block = DiTBlock(
                     cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
-                    cfg.attn_layout, cfg.mlp_bwd, cfg.pallas_ops, name=f"blocks_{i}"
+                    cfg.attn_layout, cfg.mlp_bwd, cfg.pallas_ops,
+                    cfg.quant, name=f"blocks_{i}"
                 )
                 x = run_block(block, x, cond, attn_mask)
                 if delta_mode == "record" and i == hi - 1:

@@ -62,6 +62,7 @@ def multi_head_attention(
     cp_mesh=None,
     cp_axis: str = "model",
     layout: str = "packed",
+    quant_scales: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Self-attention over x (N, T, D) with packed qkv projection.
 
@@ -90,7 +91,24 @@ def multi_head_attention(
     dh = d // num_heads
     # cast weights to the stream dtype at use (f32 master params): bf16
     # operands keep every cotangent/elementwise op in bf16 instead of f32
-    if layout == "einsum":
+    if quant_scales is not None:
+        # int8 weight-only serving: qkv_kernel/out_kernel are int8 with
+        # per-output-channel scales; the projections run through the Pallas
+        # kernel that reads them as int8 from HBM (ops/pallas_quant.py). The
+        # attention CORE below is unchanged — quant composes with the dense
+        # mask, the banded flash kernel, and context parallelism alike.
+        from osu_diffusion_tpu.ops.pallas_quant import int8_matmul
+
+        assert layout == "packed", "int8 serving uses the packed qkv layout"
+        qkv_scale, out_scale = quant_scales
+        qkv = int8_matmul(x, qkv_kernel, qkv_scale, qkv_bias, out_dtype=x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(a):
+            return a.reshape(n, t, num_heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+    elif layout == "einsum":
         # three per-slice einsums, head axis produced by the matmul itself
         w3 = qkv_kernel.astype(x.dtype).reshape(d, 3, num_heads, dh)
         b3 = qkv_bias.astype(x.dtype).reshape(3, num_heads, 1, dh)
@@ -148,6 +166,8 @@ def multi_head_attention(
             "nhtc,hcd->ntd", o, wo, preferred_element_type=jnp.float32
         ).astype(x.dtype) + out_bias.astype(x.dtype)
     o = o.transpose(0, 2, 1, 3).reshape(n, t, d)
+    if quant_scales is not None:
+        return int8_matmul(o, out_kernel, out_scale, out_bias, out_dtype=x.dtype)
     return jnp.einsum(
         "ntd,de->nte", o, out_kernel.astype(x.dtype),
         preferred_element_type=jnp.float32,

@@ -1,0 +1,123 @@
+"""Weight-only int8 matmul kernel for serving.
+
+Why a kernel at all: the exact DiT-B sampling chain is simultaneously ~72% of
+the v5e MXU peak and ~68% of HBM bandwidth (PARITY.md roofline note) — the
+weight stream is half the remaining wall. XLA already halves f32 weight
+traffic by hoisting the f32→bf16 operand converts out of the denoise-loop
+scan (loop-invariant code motion materializes one bf16 copy), but it cannot
+go below bf16: an int8 tree with an XLA-level `astype(bf16) * scale` would
+just get LICM-hoisted into the same bf16 copy, winning nothing. Reading the
+int8 weights per tile REQUIRES the dequantization to live inside the matmul's
+operand pipeline — which is exactly what this Pallas kernel does: int8 blocks
+are DMA'd HBM→VMEM (half the bytes of bf16), upcast in-register, and fed to
+the MXU, with the per-output-channel scale, bias, and optionally the MLP's
+tanh-GELU folded into the epilogue.
+
+No reference equivalent (the torch reference serves f32 end-to-end).
+Quantization scheme: symmetric per-output-channel int8 (absmax / 127), the
+standard near-lossless weight-only recipe for transformer serving.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8 quantization.
+
+    w: (..., K, M) float kernel (a leading depth axis is allowed for the
+    scanned block layout). Returns (w_q int8 same shape, scale float32
+    (..., M)) with w ≈ w_q * scale[..., None, :].
+    """
+    w = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=-2)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    w_q = jnp.round(w / scale[..., None, :]).astype(jnp.int8)
+    return w_q, scale.astype(jnp.float32)
+
+
+def _gelu_tanh(y: jnp.ndarray) -> jnp.ndarray:
+    # GELU-tanh, bit-matching nn.gelu(approximate=True) in f32
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
+
+
+def _kernel(x_ref, w_ref, s_ref, b_ref, o_ref, *, activation: str | None):
+    x = x_ref[...].astype(jnp.bfloat16)
+    w = w_ref[...].astype(jnp.bfloat16)  # int8 -> bf16 upcast in-register
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    y = acc * s_ref[...] + b_ref[...]
+    if activation == "gelu_tanh":
+        y = _gelu_tanh(y)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _block_of(m: int, want: int) -> int:
+    for cand in (want, 512, 384, 256, 128):
+        if cand <= m and m % cand == 0:
+            return cand
+    return m
+
+
+def int8_matmul(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    activation: str | None = None,
+    block_r: int = 256,
+    block_m: int = 512,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = activation((x @ (w_q * scale)) + bias), reading w_q as int8.
+
+    x: (..., K) float; w_q: (K, M) int8; scale/bias: (M,) f32.
+    Returns (..., M) in `out_dtype` (default x.dtype). The dot runs
+    bf16×bf16→f32 on the MXU — the same single-pass precision as the
+    XLA default on this hardware — scale/bias/GELU apply in f32.
+    """
+    if activation not in (None, "gelu_tanh"):
+        raise ValueError(f"unknown activation: {activation}")
+    k, m = w_q.shape
+    lead = x.shape[:-1]
+    assert x.shape[-1] == k, (x.shape, w_q.shape)
+    r = 1
+    for d in lead:
+        r *= d
+    x2 = x.reshape(r, k)
+    out_dtype = out_dtype or x.dtype
+
+    bm = _block_of(m, block_m)
+    # 16-row alignment covers the bf16 sublane tile (f32 needs only 8)
+    br = min(block_r, -(-r // 16) * 16)
+    r_pad = -(-r // br) * br
+    if r_pad != r:
+        x2 = jnp.pad(x2, ((0, r_pad - r), (0, 0)))
+    s2 = scale.astype(jnp.float32).reshape(1, m)
+    b2 = bias.astype(jnp.float32).reshape(1, m)
+
+    grid = (m // bm, r_pad // br)  # M outer: weight blocks stay resident
+    # unlike the attention/MLP kernels (which are opt-in next to XLA paths),
+    # quant serving has no XLA fallback — interpret off-TPU so the CLI works
+    # on any backend (tests force interpret the same way)
+    interpret = interpret or jax.default_backend() != "tpu"
+    kwargs = {"interpret": True} if interpret else {}
+    out = pl.pallas_call(
+        functools.partial(_kernel, activation=activation),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((br, k), lambda j, i: (i, 0)),
+            pl.BlockSpec((k, bm), lambda j, i: (0, j)),
+            pl.BlockSpec((1, bm), lambda j, i: (0, j)),
+            pl.BlockSpec((1, bm), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((br, bm), lambda j, i: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, m), out_dtype),
+        **kwargs,
+    )(x2, w_q, s2, b2)
+    return out[:r].reshape(*lead, m)
