@@ -188,6 +188,32 @@ def test_quant_sampler_chain_close_to_f32():
     assert float(jnp.max(jnp.abs(got - ref))) < 0.35
 
 
+def test_quant_composes_with_delta_cache():
+    # quant + Δ-cache accelerated sampling (sample.py --quantize-weights
+    # --accel-interval k): the quant blocks run inside the recorded span too
+    from osu_diffusion_tpu.diffusion import create_diffusion
+    from osu_diffusion_tpu.sampling import Sampler, prepare_cfg_inputs
+
+    qmodel = _tiny(quant=True)
+    qparams = quantize_params(_randomized_params(_tiny()))
+    diffusion = create_diffusion("6", noise_schedule="squaredcos_cap_v2")
+    t = 32
+    seq_o = np.cumsum(np.full((t,), 150.0))
+    seq_c = np.random.default_rng(0).normal(size=(t, CONTEXT_SIZE)).astype(np.float32)
+    z, o, c, y = prepare_cfg_inputs(
+        np.zeros((t, 2), np.float32), seq_o, seq_c, [1], 10, jax.random.PRNGKey(3)
+    )
+    exact = Sampler(qmodel, diffusion, cfg_scale=1.5, bucket=t)(
+        qparams, z, o, c, y, jax.random.PRNGKey(4)
+    )
+    accel = Sampler(qmodel, diffusion, cfg_scale=1.5, bucket=t, accel_interval=3)(
+        qparams, z, o, c, y, jax.random.PRNGKey(4)
+    )
+    assert np.all(np.isfinite(np.asarray(accel)))
+    # same noise; the Δ-reuse perturbs the chain but not wildly
+    assert float(jnp.max(jnp.abs(accel - exact))) < 1.0
+
+
 def test_quant_rejects_einsum_layout():
     model = _tiny(quant=True, attn_layout="einsum")
     x, tt, o, c, y = _inputs()
