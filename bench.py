@@ -11,10 +11,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
-import time
 
 import jax
-import jax.numpy as jnp
 
 BASELINE_STEPS_PER_SEC = 2.09  # reference torch CPU, BASELINE.md (measured)
 
@@ -27,6 +25,7 @@ def main() -> None:
     from osu_diffusion_tpu.diffusion import create_diffusion
     from osu_diffusion_tpu.models import DiT_models
     from osu_diffusion_tpu.sampling import Sampler
+    from osu_diffusion_tpu.utils.benchmark import headline_inputs, measure_grouped
 
     # Unrolled depth layout: +8% over scan-over-depth for this program
     # (2165/2154 vs 1993/1988 steps/s, interleaved A/B in one process — XLA
@@ -42,21 +41,10 @@ def main() -> None:
 
     t_len = 128
     n = 2  # CFG-doubled batch of 1, parity with the baseline harness
-    rng = jax.random.PRNGKey(0)
-    params = model.init(
-        rng,
-        jnp.zeros((n, t_len, 2)),
-        jnp.zeros((n,), jnp.int32),
-        jnp.zeros((n, t_len)),
-        jnp.zeros((n, t_len, CONTEXT_SIZE)),
-        jnp.zeros((n,), jnp.int32),
-    )["params"]
+    z, o, c, y, init_args = headline_inputs(n, t_len)
+    params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
 
     sampler = Sampler(model, diffusion, cfg_scale=1.0, band=None, bucket=t_len)
-    z = jax.random.normal(jax.random.PRNGKey(1), (n, t_len, 2))
-    o = jnp.cumsum(jnp.ones((n, t_len)) * 150, axis=1)
-    c = jax.random.normal(jax.random.PRNGKey(2), (n, t_len, CONTEXT_SIZE))
-    y = jnp.asarray([1, 52670], dtype=jnp.int32)
 
     # compile + warmup
     out = sampler(params, z, o, c, y, jax.random.PRNGKey(3))
@@ -68,18 +56,13 @@ def main() -> None:
     # runs per measurement that jitter alone moved the headline by up to 9%
     # between identical binaries (round-1 code re-measured 1847/1682/1545
     # steps/s in consecutive runs; see PARITY.md "Headline bench variance").
-    # Now: 10 groups of 10 pipelined dispatches each (one blocking fetch per
-    # group amortizes the round trip to <6%), report the BEST group — under
-    # additive noise the max over groups estimates the program's true
-    # throughput at the noise floor and is reproducible across processes.
-    groups, runs = 10, 10
-    per_group = []
-    for g in range(groups):
-        start = time.perf_counter()
-        for i in range(runs):
-            out = sampler(params, z, o, c, y, jax.random.PRNGKey(4 + g * runs + i))
-        jax.block_until_ready(out)
-        per_group.append(steps * runs / (time.perf_counter() - start))
+    # The grouped-pipelined harness lives in utils/benchmark.py, SHARED with
+    # tools/bench_accel.py and tools/bench_quant.py so every sampling bench
+    # measures identically.
+    per_group = measure_grouped(
+        lambda j: sampler(params, z, o, c, y, jax.random.PRNGKey(4 + j)),
+        steps=steps,
+    )
 
     import sys
 

@@ -145,21 +145,19 @@ def sample_main(args) -> list[str]:
     # unrolled block layout; restore_params_any converts scan-layout
     # checkpoints in-memory either way
     scan_blocks = args.scan_blocks and args.accel_interval <= 1
-    model = DiT_models[args.model](
-        num_classes=args.num_classes, context_size=CONTEXT_SIZE,
-        scan_blocks=scan_blocks, quant=args.quantize_weights,
-    )
     if args.quantize_weights:
-        from osu_diffusion_tpu.models.quantize import quantize_params
+        from osu_diffusion_tpu.models.quantize import restore_quantized
 
-        # restore the full-precision tree (against a non-quant twin so the
-        # layout converter sees the expected structure), then quantize
-        base = DiT_models[args.model](
+        model, params = restore_quantized(
+            args.ckpt, DiT_models[args.model],
             num_classes=args.num_classes, context_size=CONTEXT_SIZE,
             scan_blocks=scan_blocks,
         )
-        params = quantize_params(restore_params_any(args.ckpt, base))
     else:
+        model = DiT_models[args.model](
+            num_classes=args.num_classes, context_size=CONTEXT_SIZE,
+            scan_blocks=scan_blocks,
+        )
         params = restore_params_any(args.ckpt, model)
     diffusion = create_diffusion(
         str(args.num_sampling_steps), noise_schedule="squaredcos_cap_v2"

@@ -185,19 +185,20 @@ def main(argv=None):
                              "chain on a trained checkpoint")
     args = parser.parse_args(argv)
 
-    model = DiT_models[args.model](
-        num_classes=args.num_classes, context_size=CONTEXT_SIZE,
-        scan_blocks=False,
-    )
-    params = restore_params_any(args.ckpt, model)
     if args.quantize_weights:
-        from osu_diffusion_tpu.models.quantize import quantize_params
+        from osu_diffusion_tpu.models.quantize import restore_quantized
 
+        model, params = restore_quantized(
+            args.ckpt, DiT_models[args.model],
+            num_classes=args.num_classes, context_size=CONTEXT_SIZE,
+            scan_blocks=False,
+        )
+    else:
         model = DiT_models[args.model](
             num_classes=args.num_classes, context_size=CONTEXT_SIZE,
-            scan_blocks=False, quant=True,
+            scan_blocks=False,
         )
-        params = quantize_params(params)
+        params = restore_params_any(args.ckpt, model)
     diffusion = create_diffusion(
         str(args.num_sampling_steps), noise_schedule=args.noise_schedule
     )

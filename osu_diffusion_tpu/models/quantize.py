@@ -23,6 +23,12 @@ from osu_diffusion_tpu.ops.pallas_quant import quantize_weight
 def _quant_block(block: dict) -> dict:
     out: dict[str, Any] = {}
     for name, sub in block.items():
+        if "qkv_kernel_q" in sub or "kernel_q" in sub:
+            raise ValueError(
+                f"block submodule {name!r} is already int8-quantized — "
+                "quantize_params takes the full-precision tree (restore "
+                "against a non-quant model; see restore_quantized)"
+            )
         if name == "attn":
             qq, qs = quantize_weight(sub["qkv_kernel"])
             oq, os_ = quantize_weight(sub["out_kernel"])
@@ -51,3 +57,19 @@ def quantize_params(params: dict) -> dict:
         else:
             out[key] = sub
     return out
+
+
+def restore_quantized(ckpt_path: str, model_ctor, **model_kwargs):
+    """(quant model, int8 params) from a full-precision checkpoint.
+
+    Restoring must run against a NON-quant twin (the layout converter needs
+    the f32 tree structure), then the tree is quantized — this helper keeps
+    the twin's constructor kwargs identical to the quant model's so the two
+    trees cannot drift apart. model_ctor is a DiT_models entry (any callable
+    accepting the same kwargs plus ``quant``).
+    """
+    from osu_diffusion_tpu.train.checkpoint import restore_params_any
+
+    qmodel = model_ctor(**model_kwargs, quant=True)
+    base = model_ctor(**model_kwargs)
+    return qmodel, quantize_params(restore_params_any(ckpt_path, base))

@@ -103,9 +103,11 @@ def int8_matmul(
 
     grid = (m // bm, r_pad // br)  # M outer: weight blocks stay resident
     # unlike the attention/MLP kernels (which are opt-in next to XLA paths),
-    # quant serving has no XLA fallback — interpret off-TPU so the CLI works
-    # on any backend (tests force interpret the same way)
-    interpret = interpret or jax.default_backend() != "tpu"
+    # quant serving has no XLA fallback — interpret on the CPU backend (the
+    # one backend that cannot compile Pallas) so the CLI works everywhere.
+    # Keyed on == "cpu", NOT != "tpu": the real chip must never silently
+    # fall into the interpreter. The axon platform registers as "tpu".
+    interpret = interpret or jax.default_backend() == "cpu"
     kwargs = {"interpret": True} if interpret else {}
     out = pl.pallas_call(
         functools.partial(_kernel, activation=activation),

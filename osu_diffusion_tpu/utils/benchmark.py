@@ -1,0 +1,58 @@
+"""Shared measurement harness for the sampling benchmarks.
+
+bench.py (the official headline), tools/bench_accel.py and
+tools/bench_quant.py must measure IDENTICALLY or their numbers are not
+comparable — the round-2 headline "regression" was a harness artifact
+(PARITY.md "Headline bench variance"), so the grouped-pipelined methodology
+lives here once: ``groups`` groups of ``runs`` pipelined dispatches, ONE
+blocking fetch per group (amortizes the tunnel round trip to <6%), report
+per-group steps/sec; callers take the best group (under additive noise the
+max estimates true program throughput at the noise floor).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def headline_inputs(n: int = 2, t_len: int = 128):
+    """The headline harness input set (BASELINE.md shapes): batch n with CFG
+    doubling, T=t_len, fixed seeds. Returns (z, o, c, y) plus the init args
+    for model.init."""
+    from osu_diffusion_tpu import CONTEXT_SIZE
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (n, t_len, 2))
+    o = jnp.cumsum(jnp.ones((n, t_len)) * 150, axis=1)
+    c = jax.random.normal(jax.random.PRNGKey(2), (n, t_len, CONTEXT_SIZE))
+    y = jnp.asarray([1] * (n - 1) + [52670], dtype=jnp.int32)
+    init_args = (
+        jnp.zeros((n, t_len, 2)),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n, t_len)),
+        jnp.zeros((n, t_len, CONTEXT_SIZE)),
+        jnp.zeros((n,), jnp.int32),
+    )
+    return z, o, c, y, init_args
+
+
+def measure_grouped(
+    dispatch: Callable[[int], jax.Array],
+    steps: int,
+    groups: int = 10,
+    runs: int = 10,
+) -> list[float]:
+    """Grouped-pipelined throughput. ``dispatch(j)`` fires the j-th chain
+    (j is the global dispatch index — use it to derive the PRNG key) and
+    returns the result WITHOUT blocking; one block per group. Returns
+    chain-steps/sec per group."""
+    per_group = []
+    for g in range(groups):
+        start = time.perf_counter()
+        for i in range(runs):
+            out = dispatch(g * runs + i)
+        jax.block_until_ready(out)
+        per_group.append(steps * runs / (time.perf_counter() - start))
+    return per_group

@@ -22,7 +22,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -42,6 +41,7 @@ def main() -> None:
     from osu_diffusion_tpu.diffusion import create_diffusion
     from osu_diffusion_tpu.models import DiT_models
     from osu_diffusion_tpu.sampling import Sampler
+    from osu_diffusion_tpu.utils.benchmark import headline_inputs, measure_grouped
 
     model = DiT_models[args.model](
         num_classes=52670, context_size=CONTEXT_SIZE, scan_blocks=False
@@ -51,20 +51,8 @@ def main() -> None:
 
     t_len = 128
     n = 2
-    rng = jax.random.PRNGKey(0)
-    params = model.init(
-        rng,
-        jnp.zeros((n, t_len, 2)),
-        jnp.zeros((n,), jnp.int32),
-        jnp.zeros((n, t_len)),
-        jnp.zeros((n, t_len, CONTEXT_SIZE)),
-        jnp.zeros((n,), jnp.int32),
-    )["params"]
-
-    z = jax.random.normal(jax.random.PRNGKey(1), (n, t_len, 2))
-    o = jnp.cumsum(jnp.ones((n, t_len)) * 150, axis=1)
-    c = jax.random.normal(jax.random.PRNGKey(2), (n, t_len, CONTEXT_SIZE))
-    y = jnp.asarray([1, 52670], dtype=jnp.int32)
+    z, o, c, y, init_args = headline_inputs(n, t_len)
+    params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
 
     results = {}
     base = None
@@ -82,18 +70,10 @@ def main() -> None:
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
 
-        per_group = []
-        for g in range(args.groups):
-            start = time.perf_counter()
-            for i in range(args.runs):
-                out = sampler(
-                    params, z, o, c, y,
-                    jax.random.PRNGKey(4 + g * args.runs + i),
-                )
-            jax.block_until_ready(out)
-            per_group.append(
-                steps * args.runs / (time.perf_counter() - start)
-            )
+        per_group = measure_grouped(
+            lambda j: sampler(params, z, o, c, y, jax.random.PRNGKey(4 + j)),
+            steps=steps, groups=args.groups, runs=args.runs,
+        )
         best = max(per_group)
         if interval == 1:
             base = best

@@ -1,14 +1,14 @@
 #!/usr/bin/env python
 """int8 weight-only serving benchmark (opt-in feature, no ref equivalent).
 
-Same harness as the headline bench (bench.py: DiT-B, batch 2 with CFG
-doubling, T=128, 100 denoise steps, grouped-pipelined measurement, unrolled
-block layout) run twice: the exact f32-tree chain and the int8 weight-only
-chain (`DiTConfig.quant` + models/quantize.quantize_params — block
-projection weights stored as symmetric per-output-channel int8 and read as
-int8 from HBM by the ops/pallas_quant kernel, halving the weight stream the
-roofline note in PARITY.md identifies as one of the two walls at these
-shapes). Reports steps/sec per variant and the speedup.
+Same harness as the headline bench (bench.py shapes + the SHARED
+grouped-pipelined measurement in utils/benchmark.py) run twice: the exact
+f32-tree chain and the int8 weight-only chain (`DiTConfig.quant` +
+models/quantize.quantize_params — block projection weights stored as
+symmetric per-output-channel int8 and read as int8 from HBM by the
+ops/pallas_quant kernel, halving the weight stream the roofline note in
+PARITY.md identifies as one of the two walls at these shapes). Reports
+steps/sec per variant and the speedup.
 """
 from __future__ import annotations
 
@@ -19,7 +19,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -45,33 +44,23 @@ def main() -> None:
     from osu_diffusion_tpu.models import DiT_models
     from osu_diffusion_tpu.models.quantize import quantize_params
     from osu_diffusion_tpu.sampling import Sampler
+    from osu_diffusion_tpu.utils.benchmark import headline_inputs, measure_grouped
 
     steps = 100
     diffusion = create_diffusion(str(steps), noise_schedule="squaredcos_cap_v2")
     t_len = args.seq_len
     n = args.batch
+    z, o, c, y, init_args = headline_inputs(n, t_len)
 
     model = DiT_models[args.model](
         num_classes=52670, context_size=CONTEXT_SIZE, scan_blocks=False
     )
-    params = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((n, t_len, 2)),
-        jnp.zeros((n,), jnp.int32),
-        jnp.zeros((n, t_len)),
-        jnp.zeros((n, t_len, CONTEXT_SIZE)),
-        jnp.zeros((n,), jnp.int32),
-    )["params"]
+    params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
     qmodel = DiT_models[args.model](
         num_classes=52670, context_size=CONTEXT_SIZE, scan_blocks=False,
         quant=True,
     )
     qparams = quantize_params(params)
-
-    z = jax.random.normal(jax.random.PRNGKey(1), (n, t_len, 2))
-    o = jnp.cumsum(jnp.ones((n, t_len)) * 150, axis=1)
-    c = jax.random.normal(jax.random.PRNGKey(2), (n, t_len, CONTEXT_SIZE))
-    y = jnp.asarray([1] * (n - 1) + [52670], dtype=jnp.int32)
 
     setups = {"f32": (model, params), "int8": (qmodel, qparams)}
     results = {}
@@ -83,15 +72,10 @@ def main() -> None:
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
 
-        per_group = []
-        for g in range(args.groups):
-            start = time.perf_counter()
-            for i in range(args.runs):
-                out = sampler(
-                    p, z, o, c, y, jax.random.PRNGKey(4 + g * args.runs + i)
-                )
-            jax.block_until_ready(out)
-            per_group.append(steps * args.runs / (time.perf_counter() - start))
+        per_group = measure_grouped(
+            lambda j, p=p: sampler(p, z, o, c, y, jax.random.PRNGKey(4 + j)),
+            steps=steps, groups=args.groups, runs=args.runs,
+        )
         results[name] = {
             "steps_per_sec_best": round(max(per_group), 1),
             "per_group": [round(v, 1) for v in per_group],
