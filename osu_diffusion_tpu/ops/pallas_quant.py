@@ -1,17 +1,23 @@
 """Weight-only int8 matmul kernel for serving.
 
-Why a kernel at all: the exact DiT-B sampling chain is simultaneously ~72% of
-the v5e MXU peak and ~68% of HBM bandwidth (PARITY.md roofline note) — the
-weight stream is half the remaining wall. XLA already halves f32 weight
-traffic by hoisting the f32→bf16 operand converts out of the denoise-loop
-scan (loop-invariant code motion materializes one bf16 copy), but it cannot
-go below bf16: an int8 tree with an XLA-level `astype(bf16) * scale` would
-just get LICM-hoisted into the same bf16 copy, winning nothing. Reading the
-int8 weights per tile REQUIRES the dequantization to live inside the matmul's
-operand pipeline — which is exactly what this Pallas kernel does: int8 blocks
-are DMA'd HBM→VMEM (half the bytes of bf16), upcast in-register, and fed to
-the MXU, with the per-output-channel scale, bias, and optionally the MLP's
-tanh-GELU folded into the epilogue.
+Why a kernel at all: XLA already halves f32 weight traffic by hoisting the
+f32→bf16 operand converts out of the denoise-loop scan (loop-invariant code
+motion materializes one bf16 copy), but it cannot go below bf16: an int8
+tree with an XLA-level `astype(bf16) * scale` would just get LICM-hoisted
+into the same bf16 copy, winning nothing. Reading the int8 weights per tile
+REQUIRES the dequantization to live inside the matmul's operand pipeline —
+which is exactly what this Pallas kernel does: int8 blocks are DMA'd
+HBM→VMEM (half the bytes of bf16), upcast in-register, and fed to the MXU,
+with the per-output-channel scale, bias, and optionally the MLP's tanh-GELU
+folded into the epilogue.
+
+When it pays (measured, PARITY.md "int8 weight-only serving"): the regime
+where the weight stream binds, i.e. few tokens per weight byte — batch 2
+T=32 sampling is 1.22x f32. At the headline batch-2 T=128 shape the chain
+is MXU-bound (~72% of peak) and XLA fully overlaps the hoisted bf16 weight
+stream with compute, so halving the bytes wins nothing and the quant chain
+measures 0.89x — use f32 there. Rule of thumb on v5e: int8 helps below
+~128 tokens per dispatch (bf16 FLOP:byte ratio ~240).
 
 No reference equivalent (the torch reference serves f32 end-to-end).
 Quantization scheme: symmetric per-output-channel int8 (absmax / 127), the
@@ -56,9 +62,13 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, o_ref, *, activation: str | None):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _block_of(m: int, want: int) -> int:
-    for cand in (want, 512, 384, 256, 128):
-        if cand <= m and m % cand == 0:
+def _block_of(m: int, k: int, want: int) -> int:
+    # largest divisor first: fewer grid steps amortize per-step overhead
+    # (on-chip sweep: m=2304 bm768 ~16us vs bm384 ~25us); cap the resident
+    # int8 weight block (k*bm bytes) to stay well inside VMEM next to the
+    # activation block and double buffering
+    for cand in (want, 768, 512, 384, 256, 128):
+        if cand <= m and m % cand == 0 and k * cand <= (1 << 20):
             return cand
     return m
 
@@ -92,7 +102,7 @@ def int8_matmul(
     x2 = x.reshape(r, k)
     out_dtype = out_dtype or x.dtype
 
-    bm = _block_of(m, block_m)
+    bm = _block_of(m, k, block_m)
     # 16-row alignment covers the bf16 sublane tile (f32 needs only 8)
     br = min(block_r, -(-r // 16) * 16)
     r_pad = -(-r // br) * br
