@@ -322,18 +322,21 @@ class DiTBlock(nn.Module):
 
         mlp_hidden = int(self.hidden_size * self.mlp_ratio)
         if self.quant:
+            from osu_diffusion_tpu.ops.pallas_mlp import adaln_mlp_quant
+
             w1q, s1, b1 = QuantDenseParams(
                 self.hidden_size, mlp_hidden, name="mlp_fc1"
             )()
             w2q, s2, b2 = QuantDenseParams(
                 mlp_hidden, self.hidden_size, name="mlp_fc2"
             )()
-            h = modulate(layer_norm(x), shift_mlp, scale_mlp)
-            h = int8_matmul(
-                h, w1q, s1, b1, activation="gelu_tanh", out_dtype=x.dtype
+            # one fused int8 kernel for the whole MLP half (LN + modulate +
+            # fc1 + GELU + fc2 + gate + residual): at serving shapes the
+            # quant path's cost is per-dispatch overhead, not FLOPs — see
+            # PARITY.md "int8 weight-only serving"
+            return adaln_mlp_quant(
+                x, shift_mlp, scale_mlp, gate_mlp, w1q, s1, b1, w2q, s2, b2
             )
-            h = int8_matmul(h, w2q, s2, b2, out_dtype=x.dtype)
-            return x + gate_mlp[:, None, :] * h
         w1, b1 = DenseParams(self.hidden_size, mlp_hidden, name="mlp_fc1")()
         w2, b2 = DenseParams(mlp_hidden, self.hidden_size, name="mlp_fc2")()
         if use_pallas_mlp:

@@ -181,6 +181,97 @@ def _adaln_mlp_fwd_impl(x, shift, scale, gate, w1, b1, w2, b2,
     return outs[0][:, :t, :]
 
 
+def _adaln_mlp_quant_kernel(
+    x_ref, shift_ref, scale_ref, gate_ref,
+    w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    o_ref, *, eps: float,
+):
+    """int8 weight-only variant of the inference kernel: w1/w2 blocks arrive
+    as int8 (half the HBM weight stream), are upcast in-register and fed to
+    the MXU; the per-output-channel dequant scales fold into the epilogues
+    (s1 with b1, s2 applied per H-block partial — scales are k-invariant so
+    distributing over the accumulation is exact)."""
+    i = pl.program_id(0)
+    k = pl.program_id(2)
+    x = x_ref[0].astype(jnp.float32)  # (BT, D)
+
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+
+    shift = shift_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    scale = scale_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    gate = gate_ref[pl.ds(i, 1), :].astype(jnp.float32)
+
+    h = xn * (1.0 + scale) + shift
+    h = jnp.dot(h.astype(jnp.bfloat16), w1_ref[...].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    h = h * s1_ref[0].astype(jnp.float32) + b1_ref[0].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=True)
+    partial = jnp.dot(
+        h.astype(jnp.bfloat16), w2_ref[...].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * s2_ref[0].astype(jnp.float32)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[0] = (
+            x + gate * (partial + b2_ref[0].astype(jnp.float32))
+        ).astype(o_ref.dtype)
+
+    @pl.when(k > 0)
+    def _():
+        o_ref[0] = o_ref[0] + (gate * partial).astype(o_ref.dtype)
+
+
+def adaln_mlp_quant(x, shift, scale, gate, w1q, s1, b1, w2q, s2, b2,
+                    block_t: int = DEFAULT_BLOCK_T, eps: float = 1e-6):
+    """Inference-only int8 fused MLP half: one kernel for
+    x + gate * fc2(gelu(fc1(modulate(LN(x))))) with int8 w1q/w2q and
+    per-output-channel scales s1 (H,) / s2 (D,). Serving path of
+    DiTConfig.quant — no VJP (quantized trees are never trained).
+    Interprets on the CPU backend (no XLA fallback exists for this path)."""
+    n, t, d = x.shape
+    hdim = w1q.shape[1]
+    block_h = _pick_block_h(hdim)
+    t_pad = -(-t // block_t) * block_t
+    if t_pad != t:
+        x = jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
+
+    b1_2d = b1.reshape(1, hdim)
+    b2_2d = b2.reshape(1, d)
+    s1_2d = s1.reshape(1, hdim)
+    s2_2d = s2.reshape(1, d)
+
+    grid = (n, t_pad // block_t, hdim // block_h)
+    xo_spec = pl.BlockSpec(
+        (1, block_t, d), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kwargs = {"interpret": True} if jax.default_backend() == "cpu" else {}
+    out = pl.pallas_call(
+        functools.partial(_adaln_mlp_quant_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((n, t_pad, d), x.dtype),
+        grid=grid,
+        in_specs=[
+            xo_spec,
+            whole,  # shift (N, D)
+            whole,  # scale
+            whole,  # gate
+            pl.BlockSpec((d, block_h), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_h, d), lambda i, j, k: (k, 0), memory_space=pltpu.VMEM),
+            whole,  # s2 (1, D)
+            whole,  # b2 (1, D)
+        ],
+        out_specs=xo_spec,
+        **kwargs,
+    )(x, shift, scale, gate, w1q, s1_2d, b1_2d, w2q, s2_2d, b2_2d)
+    return out[:, :t, :]
+
+
 def _reference_impl(x, shift, scale, gate, w1, b1, w2, b2, eps: float):
     """jnp reference path (used for the backward recompute and CPU tests)."""
     mean = jnp.mean(x, axis=-1, keepdims=True)

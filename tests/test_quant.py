@@ -57,6 +57,33 @@ def test_int8_matmul_gelu_epilogue_and_lead_dims():
     assert float(jnp.max(jnp.abs(out - ref))) < 2e-2
 
 
+def test_adaln_mlp_quant_matches_dequant_reference():
+    from osu_diffusion_tpu.ops.pallas_mlp import _reference_impl, adaln_mlp_quant
+
+    rng = np.random.default_rng(3)
+    n, t, d, h = 2, 32, 64, 256
+    x = jnp.asarray(rng.normal(size=(n, t, d)), jnp.float32)
+    shift = jnp.asarray(rng.normal(size=(n, d)) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(n, d)) * 0.1, jnp.float32)
+    gate = jnp.asarray(rng.normal(size=(n, d)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, h)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(h, d)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    w1q, s1 = pq.quantize_weight(w1)
+    w2q, s2 = pq.quantize_weight(w2)
+    # _reference_impl broadcasts the (N, D) modulation vectors itself
+    ref = _reference_impl(
+        x, shift, scale, gate,
+        w1q.astype(jnp.float32) * s1[None, :], b1,
+        w2q.astype(jnp.float32) * s2[None, :], b2, eps=1e-6,
+    )
+    got = adaln_mlp_quant(x, shift, scale, gate, w1q, s1, b1, w2q, s2, b2)
+    assert got.shape == (n, t, d)
+    err = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert err < 5e-3, err  # bf16 MXU dots vs f32 reference
+
+
 def test_quantize_weight_roundtrip_bound():
     rng = np.random.default_rng(2)
     w = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
