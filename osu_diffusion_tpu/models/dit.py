@@ -174,6 +174,7 @@ class SelfAttention(nn.Module):
         valid_len: int | None = None,
         cp_mesh=None,
         cp_axis: str = "model",
+        quant_mod: tuple | None = None,
     ) -> jnp.ndarray:
         d = self.hidden_size
         if self.quant:
@@ -206,7 +207,7 @@ class SelfAttention(nn.Module):
             num_heads=self.num_heads, mask=mask, band=band,
             use_pallas=use_pallas, valid_len=valid_len,
             cp_mesh=cp_mesh, cp_axis=cp_axis, layout=self.attn_layout,
-            quant_scales=quant_scales,
+            quant_scales=quant_scales, quant_mod=quant_mod,
         )
 
 
@@ -311,14 +312,26 @@ class DiTBlock(nn.Module):
         ops = self.pallas_ops.split(",")
         use_pallas_attn = use_pallas and "attn" in ops
         use_pallas_mlp = use_pallas and "mlp" in ops and not self.quant
-        h = modulate(layer_norm(x), shift_msa, scale_msa)
-        attn = SelfAttention(
-            self.hidden_size, self.num_heads, self.attn_layout,
-            self.quant, name="attn"
-        )(
-            h, mask, band, use_pallas_attn, valid_len, cp_mesh, cp_axis
-        )
-        x = x + gate_msa[:, None, :] * attn
+        if self.quant:
+            # fused serving path: x stays the raw residual stream — the
+            # LN+modulate prologue and gate+residual epilogue live inside
+            # the int8 projection kernels (ops/attention.py quant_mod note)
+            x = SelfAttention(
+                self.hidden_size, self.num_heads, self.attn_layout,
+                self.quant, name="attn"
+            )(
+                x, mask, band, use_pallas_attn, valid_len, cp_mesh, cp_axis,
+                quant_mod=(shift_msa, scale_msa, gate_msa),
+            )
+        else:
+            h = modulate(layer_norm(x), shift_msa, scale_msa)
+            attn = SelfAttention(
+                self.hidden_size, self.num_heads, self.attn_layout,
+                self.quant, name="attn"
+            )(
+                h, mask, band, use_pallas_attn, valid_len, cp_mesh, cp_axis
+            )
+            x = x + gate_msa[:, None, :] * attn
 
         mlp_hidden = int(self.hidden_size * self.mlp_ratio)
         if self.quant:

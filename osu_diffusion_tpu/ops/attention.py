@@ -63,6 +63,7 @@ def multi_head_attention(
     cp_axis: str = "model",
     layout: str = "packed",
     quant_scales: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    quant_mod: tuple | None = None,
 ) -> jnp.ndarray:
     """Self-attention over x (N, T, D) with packed qkv projection.
 
@@ -93,15 +94,31 @@ def multi_head_attention(
     # operands keep every cotangent/elementwise op in bf16 instead of f32
     if quant_scales is not None:
         # int8 weight-only serving: qkv_kernel/out_kernel are int8 with
-        # per-output-channel scales; the projections run through the Pallas
-        # kernel that reads them as int8 from HBM (ops/pallas_quant.py). The
+        # per-output-channel scales; the projections run through Pallas
+        # kernels that read them as int8 from HBM (ops/pallas_quant.py). The
         # attention CORE below is unchanged — quant composes with the dense
         # mask, the banded flash kernel, and context parallelism alike.
-        from osu_diffusion_tpu.ops.pallas_quant import int8_matmul
+        # With quant_mod=(shift, scale, gate), x is the RAW residual stream:
+        # the adaLN LN+modulate folds into the qkv kernel's prologue and the
+        # gate+residual into the out-projection's epilogue, so the modulated
+        # activations never round trip through HBM (one dispatch each side).
+        from osu_diffusion_tpu.ops.pallas_quant import (
+            int8_matmul,
+            int8_modulated_matmul,
+            int8_out_residual,
+        )
 
         assert layout == "packed", "int8 serving uses the packed qkv layout"
         qkv_scale, out_scale = quant_scales
-        qkv = int8_matmul(x, qkv_kernel, qkv_scale, qkv_bias, out_dtype=x.dtype)
+        if quant_mod is not None:
+            mod_shift, mod_scale, mod_gate = quant_mod
+            qkv = int8_modulated_matmul(
+                x, mod_shift, mod_scale, qkv_kernel, qkv_scale, qkv_bias
+            )
+        else:
+            qkv = int8_matmul(
+                x, qkv_kernel, qkv_scale, qkv_bias, out_dtype=x.dtype
+            )
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(a):
@@ -167,6 +184,11 @@ def multi_head_attention(
         ).astype(x.dtype) + out_bias.astype(x.dtype)
     o = o.transpose(0, 2, 1, 3).reshape(n, t, d)
     if quant_scales is not None:
+        if quant_mod is not None:
+            # x here is the raw residual (see the quant_mod note above)
+            return int8_out_residual(
+                o, x, mod_gate, out_kernel, out_scale, out_bias
+            )
         return int8_matmul(o, out_kernel, out_scale, out_bias, out_dtype=x.dtype)
     return jnp.einsum(
         "ntd,de->nte", o, out_kernel.astype(x.dtype),

@@ -30,6 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -44,6 +45,108 @@ def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     w_q = jnp.round(w / scale[..., None, :]).astype(jnp.int8)
     return w_q, scale.astype(jnp.float32)
+
+
+def _modulated_kernel(x_ref, shift_ref, scale_ref, w_ref, s_ref, b_ref, o_ref,
+                      *, eps: float):
+    """modulate(LN(x)) @ w_int8 — the attention-side analogue of the fused
+    MLP prologue: the non-affine LayerNorm and the adaLN shift/scale fold
+    into the int8 qkv projection so the modulated activation never round
+    trips through HBM."""
+    i = pl.program_id(0)
+    x = x_ref[0].astype(jnp.float32)  # (BT, D)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    shift = shift_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    scale = scale_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    h = xn * (1.0 + scale) + shift
+    acc = jnp.dot(h.astype(jnp.bfloat16), w_ref[...].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    y = acc * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def int8_modulated_matmul(x, shift, scale, w_q, s, b, block_t: int = 128,
+                          block_m: int = 768, eps: float = 1e-6):
+    """(N, T, M) = modulate(LN(x), shift, scale) @ (w_q * s) + b with int8
+    w_q. x: (N, T, D); shift/scale: (N, D); s/b: (M,). Serving-only (no
+    VJP). Interprets on the CPU backend."""
+    n, t, d = x.shape
+    k, m = w_q.shape
+    assert k == d, (x.shape, w_q.shape)
+    bm = _block_of(m, k, block_m)
+    t_pad = -(-t // block_t) * block_t
+    if t_pad != t:
+        x = jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
+    s2 = s.astype(jnp.float32).reshape(1, m)
+    b2 = b.astype(jnp.float32).reshape(1, m)
+    grid = (n, t_pad // block_t, m // bm)
+    kwargs = {"interpret": True} if jax.default_backend() == "cpu" else {}
+    out = pl.pallas_call(
+        functools.partial(_modulated_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_t, d), lambda i, j, q: (i, j, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # shift (N, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale
+            pl.BlockSpec((d, bm), lambda i, j, q: (0, q)),
+            pl.BlockSpec((1, bm), lambda i, j, q: (0, q)),
+            pl.BlockSpec((1, bm), lambda i, j, q: (0, q)),
+        ],
+        out_specs=pl.BlockSpec((1, block_t, bm), lambda i, j, q: (i, j, q)),
+        out_shape=jax.ShapeDtypeStruct((n, t_pad, m), x.dtype),
+        **kwargs,
+    )(x, shift, scale, w_q, s2, b2)
+    return out[:, :t, :]
+
+
+def _out_residual_kernel(o_ref, res_ref, gate_ref, w_ref, s_ref, b_ref, y_ref):
+    """res + gate * (o @ w_int8 * s + b) — the attention out-projection with
+    the adaLN gate and the residual add folded into the epilogue."""
+    i = pl.program_id(0)
+    o = o_ref[0].astype(jnp.bfloat16)  # (BT, D)
+    acc = jnp.dot(o, w_ref[...].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    y = acc * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    gate = gate_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    y_ref[0] = (res_ref[0].astype(jnp.float32) + gate * y).astype(y_ref.dtype)
+
+
+def int8_out_residual(o, res, gate, w_q, s, b, block_t: int = 128,
+                      block_m: int = 768):
+    """(N, T, D) = res + gate * (o @ (w_q * s) + b) with int8 w_q.
+    o/res: (N, T, D); gate: (N, D). Serving-only. Interprets on CPU."""
+    n, t, d = o.shape
+    k, m = w_q.shape
+    assert k == d == m, (o.shape, w_q.shape)
+    bm = _block_of(m, k, block_m)
+    t_pad = -(-t // block_t) * block_t
+    if t_pad != t:
+        pad = [(0, 0), (0, t_pad - t), (0, 0)]
+        o = jnp.pad(o, pad)
+        res = jnp.pad(res, pad)
+    s2 = s.astype(jnp.float32).reshape(1, m)
+    b2 = b.astype(jnp.float32).reshape(1, m)
+    grid = (n, t_pad // block_t, m // bm)
+    kwargs = {"interpret": True} if jax.default_backend() == "cpu" else {}
+    out = pl.pallas_call(
+        _out_residual_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_t, d), lambda i, j, q: (i, j, 0)),
+            pl.BlockSpec((1, block_t, bm), lambda i, j, q: (i, j, q)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gate (N, D)
+            pl.BlockSpec((d, bm), lambda i, j, q: (0, q)),
+            pl.BlockSpec((1, bm), lambda i, j, q: (0, q)),
+            pl.BlockSpec((1, bm), lambda i, j, q: (0, q)),
+        ],
+        out_specs=pl.BlockSpec((1, block_t, bm), lambda i, j, q: (i, j, q)),
+        out_shape=jax.ShapeDtypeStruct((n, t_pad, m), o.dtype),
+        **kwargs,
+    )(o, res, gate, w_q, s2, b2)
+    return out[:, :t, :]
 
 
 def _gelu_tanh(y: jnp.ndarray) -> jnp.ndarray:
