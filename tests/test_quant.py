@@ -215,6 +215,33 @@ def test_quant_sampler_chain_close_to_f32():
     assert float(jnp.max(jnp.abs(got - ref))) < 0.35
 
 
+def test_quant_composes_with_banded_flash_attention(monkeypatch):
+    # int8 projections + the banded flash Pallas core in one forward: the
+    # quant kernels feed q/k/v into the flash kernel unchanged
+    import osu_diffusion_tpu.ops.pallas_attention as pa
+
+    orig = pa.pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pa.pl, "pallas_call", patched)
+
+    qmodel = _tiny(quant=True)
+    qparams = quantize_params(_randomized_params(_tiny()))
+    x, tt, o, c, y = _inputs()
+    dense = qmodel.apply(
+        {"params": qparams}, x, tt, o, c, y, band=8, use_pallas=False
+    )
+    flash = qmodel.apply(
+        {"params": qparams}, x, tt, o, c, y, band=8, use_pallas=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(flash), np.asarray(dense), rtol=0, atol=2e-2
+    )
+
+
 def test_quant_composes_with_delta_cache():
     # quant + Δ-cache accelerated sampling (sample.py --quantize-weights
     # --accel-interval k): the quant blocks run inside the recorded span too
