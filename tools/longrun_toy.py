@@ -280,6 +280,22 @@ def main() -> None:
         step = out["final_step"]
         ckpt = latest_checkpoint(os.path.join(out["experiment_dir"], "checkpoints"))
         run_eval(step, out["state"].ema_params, time.time() - t0)
+        # each train() call jits fresh train-step closures; without clearing,
+        # the executables/constants accumulate ~20 GB/chunk of host RSS until
+        # the OOM killer ends the run (observed at 130 GB after 6 chunks,
+        # 2026-08-18). The persistent on-disk compilation cache makes the
+        # re-jit on the next chunk cheap.
+        del out
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+        with open("/proc/self/status") as f:
+            rss_kb = next(
+                int(line.split()[1]) for line in f if line.startswith("VmRSS")
+            )
+        print(f"post-chunk rss_gb={rss_kb / 1e6:.1f}", flush=True)
         if time.time() - t_start > args.wall_limit_s:
             print("wall limit reached", flush=True)
             break
