@@ -235,6 +235,11 @@ def adaln_mlp_quant(x, shift, scale, gate, w1q, s1, b1, w2q, s2, b2,
     n, t, d = x.shape
     hdim = w1q.shape[1]
     block_h = _pick_block_h(hdim)
+    # clamp the T block to the (sublane-aligned) real length: padding short
+    # sequences to a fixed 128 block multiplies the row work 128/T-fold and
+    # erases the int8 win exactly in its weight-bound home regime (measured
+    # 0.78x at T=32 before this clamp)
+    block_t = min(block_t, -(-t // 16) * 16)
     t_pad = -(-t // block_t) * block_t
     if t_pad != t:
         x = jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])

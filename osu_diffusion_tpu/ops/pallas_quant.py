@@ -77,6 +77,9 @@ def int8_modulated_matmul(x, shift, scale, w_q, s, b, block_t: int = 128,
     k, m = w_q.shape
     assert k == d, (x.shape, w_q.shape)
     bm = _block_of(m, k, block_m)
+    # clamp the T block to the (sublane-aligned) real length — see
+    # pallas_mlp.adaln_mlp_quant for the measured rationale
+    block_t = min(block_t, -(-t // 16) * 16)
     t_pad = -(-t // block_t) * block_t
     if t_pad != t:
         x = jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
@@ -122,6 +125,9 @@ def int8_out_residual(o, res, gate, w_q, s, b, block_t: int = 128,
     k, m = w_q.shape
     assert k == d == m, (o.shape, w_q.shape)
     bm = _block_of(m, k, block_m)
+    # clamp the T block to the (sublane-aligned) real length — see
+    # pallas_mlp.adaln_mlp_quant for the measured rationale
+    block_t = min(block_t, -(-t // 16) * 16)
     t_pad = -(-t // block_t) * block_t
     if t_pad != t:
         pad = [(0, 0), (0, t_pad - t), (0, 0)]
