@@ -84,9 +84,9 @@ def build_sample_parser() -> argparse.ArgumentParser:
     # symmetric per-output-channel int8 and read as int8 by a Pallas matmul
     # kernel (half the HBM weight stream; ops/pallas_quant.py). Approximate
     # (weight rounding ~0.4%/channel); embedders/final layer stay f32.
-    # Pays in the weight-bound regime (short windows: 1.22x at T=32); at
-    # T>=128 the chain is MXU-bound and f32 is faster — see PARITY.md
-    # "int8 weight-only serving".
+    # Pays in the weight-bound regime (short windows: 1.33x at T=32); at
+    # T>=128 the chain is MXU-bound and f32 is marginally faster (0.98x) —
+    # see PARITY.md "int8 weight-only serving".
     _bool_flag(parser, "quantize-weights", False)
     # accepted for reference flag parity (sample.py:224); TPU sampling runs
     # fp32 activations with bf16 MXU passes regardless

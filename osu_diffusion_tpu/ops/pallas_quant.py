@@ -13,11 +13,14 @@ folded into the epilogue.
 
 When it pays (measured, PARITY.md "int8 weight-only serving"): the regime
 where the weight stream binds, i.e. few tokens per weight byte — batch 2
-T=32 sampling is 1.22x f32. At the headline batch-2 T=128 shape the chain
-is MXU-bound (~72% of peak) and XLA fully overlaps the hoisted bf16 weight
-stream with compute, so halving the bytes wins nothing and the quant chain
-measures 0.89x — use f32 there. Rule of thumb on v5e: int8 helps below
-~128 tokens per dispatch (bf16 FLOP:byte ratio ~240).
+T=32 sampling is 1.33x f32 with the fused block kernels (adaln_mlp_quant +
+int8_modulated_matmul + int8_out_residual: four dispatches per block, every
+adaLN elementwise op folded in). At the headline batch-2 T=128 shape the
+chain is MXU-bound (~72% of peak) and XLA fully overlaps the hoisted bf16
+weight stream with compute, so halving the bytes cannot win; the fused
+quant chain measures 0.98x (was 0.89x with one dispatch per projection) —
+use f32 there. Rule of thumb on v5e: int8 helps below ~128 tokens per
+dispatch (bf16 FLOP:byte ratio ~240).
 
 No reference equivalent (the torch reference serves f32 end-to-end).
 Quantization scheme: symmetric per-output-channel int8 (absmax / 127), the
