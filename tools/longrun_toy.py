@@ -160,6 +160,9 @@ def main() -> None:
     parser.add_argument("--data-dir", type=str, default="/tmp/longrun_toy_ds")
     parser.add_argument("--log", type=str, default="/tmp/longrun_evals.jsonl")
     parser.add_argument("--wall-limit-s", type=float, default=10 ** 9)
+    parser.add_argument("--eval-timeout-s", type=float, default=1200,
+                        help="per-eval hang watchdog: dump all stacks and "
+                             "exit if the post-chunk eval stalls this long")
     parser.add_argument("--resume-from", type=str, default=None,
                         help="explicit checkpoint to resume from (overrides "
                              "the newest-experiment auto-scan)")
@@ -217,6 +220,15 @@ def main() -> None:
     sampler = Sampler(eval_model, eval_diffusion, band=args.seq_len)
 
     def run_eval(step: int, ema_params, t_train: float) -> None:
+        # hang watchdog: the axon tunnel occasionally wedges a dispatch
+        # forever (all threads in futex/epoll waits, 0% CPU — observed twice
+        # at post-chunk evals, 2026-08-18). If an eval makes no progress for
+        # eval_timeout_s, dump every thread's Python stack to stderr (the
+        # diagnosis this hang never had) and exit nonzero; the checkpoint is
+        # already saved, so a relauncher resumes cleanly at the next chunk.
+        import faulthandler
+
+        faulthandler.dump_traceback_later(args.eval_timeout_s, exit=True)
         rec = {"step": step, "train_s": round(t_train, 1)}
         t0 = time.time()
         for suite in args.suites:
@@ -229,6 +241,7 @@ def main() -> None:
             )
             rec[suite] = round(res["accuracy"], 4)
         rec["eval_s"] = round(time.time() - t0, 1)
+        faulthandler.cancel_dump_traceback_later()
         with open(args.log, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
