@@ -116,6 +116,10 @@ def multi_head_attention(
                 x, mod_shift, mod_scale, qkv_kernel, qkv_scale, qkv_bias
             )
         else:
+            # quant without quant_mod (plain projections, no folded adaLN)
+            # is not reachable from DiTBlock — it exists for direct callers
+            # of this op (kernel-level tests, non-DiT uses); the fused
+            # branch above is the maintained production path
             qkv = int8_matmul(
                 x, qkv_kernel, qkv_scale, qkv_bias, out_dtype=x.dtype
             )

@@ -50,6 +50,23 @@ def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return w_q, scale.astype(jnp.float32)
 
 
+def _interp_kwargs(interpret: bool) -> dict:
+    """The CPU backend cannot compile Pallas — always interpret there; TPU
+    callers may force interpret=True for debugging. Shared by every entry
+    point so the backend-keying policy lives in exactly one place."""
+    if interpret or jax.default_backend() == "cpu":
+        return {"interpret": True}
+    return {}
+
+
+def _block_t_for(t: int, block_t: int) -> int:
+    """Clamp the T block to the sublane-aligned real length: padding short
+    sequences to a fixed 128-row block multiplies the row work 128/T-fold
+    and erases the int8 win exactly in its weight-bound home regime
+    (measured 0.78x at T=32 before this clamp)."""
+    return min(block_t, -(-t // 16) * 16)
+
+
 def _modulated_kernel(x_ref, shift_ref, scale_ref, w_ref, s_ref, b_ref, o_ref,
                       *, eps: float):
     """modulate(LN(x)) @ w_int8 — the attention-side analogue of the fused
@@ -72,7 +89,8 @@ def _modulated_kernel(x_ref, shift_ref, scale_ref, w_ref, s_ref, b_ref, o_ref,
 
 
 def int8_modulated_matmul(x, shift, scale, w_q, s, b, block_t: int = 128,
-                          block_m: int = 768, eps: float = 1e-6):
+                          block_m: int = 768, eps: float = 1e-6,
+                          interpret: bool = False):
     """(N, T, M) = modulate(LN(x), shift, scale) @ (w_q * s) + b with int8
     w_q. x: (N, T, D); shift/scale: (N, D); s/b: (M,). Serving-only (no
     VJP). Interprets on the CPU backend."""
@@ -80,16 +98,14 @@ def int8_modulated_matmul(x, shift, scale, w_q, s, b, block_t: int = 128,
     k, m = w_q.shape
     assert k == d, (x.shape, w_q.shape)
     bm = _block_of(m, k, block_m)
-    # clamp the T block to the (sublane-aligned) real length — see
-    # pallas_mlp.adaln_mlp_quant for the measured rationale
-    block_t = min(block_t, -(-t // 16) * 16)
+    block_t = _block_t_for(t, block_t)
     t_pad = -(-t // block_t) * block_t
     if t_pad != t:
         x = jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
     s2 = s.astype(jnp.float32).reshape(1, m)
     b2 = b.astype(jnp.float32).reshape(1, m)
     grid = (n, t_pad // block_t, m // bm)
-    kwargs = {"interpret": True} if jax.default_backend() == "cpu" else {}
+    kwargs = _interp_kwargs(interpret)
     out = pl.pallas_call(
         functools.partial(_modulated_kernel, eps=eps),
         grid=grid,
@@ -108,29 +124,32 @@ def int8_modulated_matmul(x, shift, scale, w_q, s, b, block_t: int = 128,
     return out[:, :t, :]
 
 
-def _out_residual_kernel(o_ref, res_ref, gate_ref, w_ref, s_ref, b_ref, y_ref):
+def _out_residual_kernel(o_ref, res_ref, gate_ref, w_ref, s_ref, b_ref, y_ref,
+                         *, bm: int):
     """res + gate * (o @ w_int8 * s + b) — the attention out-projection with
     the adaLN gate and the residual add folded into the epilogue."""
     i = pl.program_id(0)
+    q = pl.program_id(2)
     o = o_ref[0].astype(jnp.bfloat16)  # (BT, D)
     acc = jnp.dot(o, w_ref[...].astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
     y = acc * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
-    gate = gate_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    # gate rides whole as (N, D): slice the batch row AND this program's
+    # output-channel block (bm < d whenever d has no large-enough divisor —
+    # DiT-L d=1024 -> bm=512, DiT-XL d=1152 -> bm=384)
+    gate = gate_ref[pl.ds(i, 1), pl.ds(q * bm, bm)].astype(jnp.float32)
     y_ref[0] = (res_ref[0].astype(jnp.float32) + gate * y).astype(y_ref.dtype)
 
 
 def int8_out_residual(o, res, gate, w_q, s, b, block_t: int = 128,
-                      block_m: int = 768):
+                      block_m: int = 768, interpret: bool = False):
     """(N, T, D) = res + gate * (o @ (w_q * s) + b) with int8 w_q.
     o/res: (N, T, D); gate: (N, D). Serving-only. Interprets on CPU."""
     n, t, d = o.shape
     k, m = w_q.shape
     assert k == d == m, (o.shape, w_q.shape)
     bm = _block_of(m, k, block_m)
-    # clamp the T block to the (sublane-aligned) real length — see
-    # pallas_mlp.adaln_mlp_quant for the measured rationale
-    block_t = min(block_t, -(-t // 16) * 16)
+    block_t = _block_t_for(t, block_t)
     t_pad = -(-t // block_t) * block_t
     if t_pad != t:
         pad = [(0, 0), (0, t_pad - t), (0, 0)]
@@ -139,9 +158,9 @@ def int8_out_residual(o, res, gate, w_q, s, b, block_t: int = 128,
     s2 = s.astype(jnp.float32).reshape(1, m)
     b2 = b.astype(jnp.float32).reshape(1, m)
     grid = (n, t_pad // block_t, m // bm)
-    kwargs = {"interpret": True} if jax.default_backend() == "cpu" else {}
+    kwargs = _interp_kwargs(interpret)
     out = pl.pallas_call(
-        _out_residual_kernel,
+        functools.partial(_out_residual_kernel, bm=bm),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_t, d), lambda i, j, q: (i, j, 0)),
@@ -224,13 +243,11 @@ def int8_matmul(
     b2 = bias.astype(jnp.float32).reshape(1, m)
 
     grid = (m // bm, r_pad // br)  # M outer: weight blocks stay resident
-    # unlike the attention/MLP kernels (which are opt-in next to XLA paths),
-    # quant serving has no XLA fallback — interpret on the CPU backend (the
-    # one backend that cannot compile Pallas) so the CLI works everywhere.
-    # Keyed on == "cpu", NOT != "tpu": the real chip must never silently
-    # fall into the interpreter. The axon platform registers as "tpu".
-    interpret = interpret or jax.default_backend() == "cpu"
-    kwargs = {"interpret": True} if interpret else {}
+    # quant serving has no XLA fallback — interpret on the CPU backend so
+    # the CLI works everywhere. Keyed on == "cpu", NOT != "tpu": the real
+    # chip must never silently fall into the interpreter (axon registers
+    # as "tpu").
+    kwargs = _interp_kwargs(interpret)
     out = pl.pallas_call(
         functools.partial(_kernel, activation=activation),
         grid=grid,

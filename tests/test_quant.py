@@ -84,6 +84,26 @@ def test_adaln_mlp_quant_matches_dequant_reference():
     assert err < 5e-3, err  # bf16 MXU dots vs f32 reference
 
 
+@pytest.mark.parametrize("d", [1024, 1152])  # DiT-L / DiT-XL widths: bm < d
+def test_int8_out_residual_blocked_gate(d):
+    # regression: the out-projection kernel must slice the gate per output
+    # block — DiT-L (bm=512) and DiT-XL (bm=384) have m // bm > 1
+    rng = np.random.default_rng(4)
+    n, t = 2, 16
+    o = jnp.asarray(rng.normal(size=(n, t, d)), jnp.float32)
+    res = jnp.asarray(rng.normal(size=(n, t, d)), jnp.float32)
+    gate = jnp.asarray(rng.normal(size=(n, d)) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(d, d)) * 0.02, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    wq, s = pq.quantize_weight(w)
+    ref = res + gate[:, None, :] * (
+        o @ (wq.astype(jnp.float32) * s[None, :]) + b
+    )
+    got = pq.int8_out_residual(o, res, gate, wq, s, b)
+    err = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert err < 5e-3, err
+
+
 def test_quantize_weight_roundtrip_bound():
     rng = np.random.default_rng(2)
     w = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)

@@ -161,8 +161,8 @@ def main() -> None:
     parser.add_argument("--log", type=str, default="/tmp/longrun_evals.jsonl")
     parser.add_argument("--wall-limit-s", type=float, default=10 ** 9)
     parser.add_argument("--eval-timeout-s", type=float, default=1200,
-                        help="per-eval hang watchdog: dump all stacks and "
-                             "exit if the post-chunk eval stalls this long")
+                        help="per-SUITE hang watchdog: dump all stacks and "
+                             "exit if one suite eval stalls this long")
     parser.add_argument("--resume-from", type=str, default=None,
                         help="explicit checkpoint to resume from (overrides "
                              "the newest-experiment auto-scan)")
@@ -222,16 +222,19 @@ def main() -> None:
     def run_eval(step: int, ema_params, t_train: float) -> None:
         # hang watchdog: the axon tunnel occasionally wedges a dispatch
         # forever (all threads in futex/epoll waits, 0% CPU — observed twice
-        # at post-chunk evals, 2026-08-18). If an eval makes no progress for
-        # eval_timeout_s, dump every thread's Python stack to stderr (the
-        # diagnosis this hang never had) and exit nonzero; the checkpoint is
-        # already saved, so a relauncher resumes cleanly at the next chunk.
+        # at post-chunk evals, 2026-08-18). The timer is re-armed per SUITE —
+        # a wall-clock budget over the whole eval would hard-kill a healthy
+        # run whose suites each need a fresh compile (2-8 min each over the
+        # tunnel). If ONE suite exceeds eval_timeout_s, dump every thread's
+        # Python stack to stderr (the diagnosis this hang never had) and
+        # exit nonzero; the chunk checkpoint is already saved, so a
+        # relauncher resumes cleanly at the next chunk.
         import faulthandler
 
-        faulthandler.dump_traceback_later(args.eval_timeout_s, exit=True)
         rec = {"step": step, "train_s": round(t_train, 1)}
         t0 = time.time()
         for suite in args.suites:
+            faulthandler.dump_traceback_later(args.eval_timeout_s, exit=True)
             # seq_len pinned to the reference protocol (test_toy pads every
             # example to seq_len with filler, SURVEY §3.4) — also one compiled
             # chain shape for all fixtures instead of one per unique length
