@@ -84,6 +84,54 @@ def test_adaln_mlp_quant_matches_dequant_reference():
     assert err < 5e-3, err  # bf16 MXU dots vs f32 reference
 
 
+def test_adaln_mlp_quant_multi_hblock_accumulation():
+    # h=2048 -> block_h=1024 -> 2 H blocks: exercises the cross-block fc2
+    # accumulation with per-block dequant scales
+    from osu_diffusion_tpu.ops.pallas_mlp import _reference_impl, adaln_mlp_quant
+
+    rng = np.random.default_rng(5)
+    n, t, d, h = 2, 16, 128, 2048
+    x = jnp.asarray(rng.normal(size=(n, t, d)), jnp.float32)
+    shift = jnp.asarray(rng.normal(size=(n, d)) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(n, d)) * 0.1, jnp.float32)
+    gate = jnp.asarray(rng.normal(size=(n, d)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, h)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(h, d)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    w1q, s1 = pq.quantize_weight(w1)
+    w2q, s2 = pq.quantize_weight(w2)
+    ref = _reference_impl(
+        x, shift, scale, gate,
+        w1q.astype(jnp.float32) * s1[None, :], b1,
+        w2q.astype(jnp.float32) * s2[None, :], b2, eps=1e-6,
+    )
+    got = adaln_mlp_quant(x, shift, scale, gate, w1q, s1, b1, w2q, s2, b2)
+    err = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert err < 5e-3, err
+
+
+def test_int8_modulated_matmul_multi_mblock():
+    # m=1536 -> bm=768 -> 2 M blocks: per-block scale/bias slicing
+    rng = np.random.default_rng(6)
+    n, t, d, m = 2, 16, 128, 1536
+    x = jnp.asarray(rng.normal(size=(n, t, d)), jnp.float32)
+    shift = jnp.asarray(rng.normal(size=(n, d)) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(n, d)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(d, m)) * 0.02, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(m,)) * 0.1, jnp.float32)
+    wq, s = pq.quantize_weight(w)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + 1e-6)
+    h = xn * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    ref = h @ (wq.astype(jnp.float32) * s[None, :]) + b
+    got = pq.int8_modulated_matmul(x, shift, scale, wq, s, b)
+    err = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert err < 5e-3, err
+
+
 @pytest.mark.parametrize("d", [1024, 1152])  # DiT-L / DiT-XL widths: bm < d
 def test_int8_out_residual_blocked_gate(d):
     # regression: the out-projection kernel must slice the gate per output

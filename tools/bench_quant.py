@@ -34,6 +34,12 @@ def main() -> None:
         "--variants", type=str, default="f32,int8",
         help="comma list from {f32,int8}; order is measurement order",
     )
+    parser.add_argument(
+        "--accel-interval", type=int, default=1,
+        help="Δ-cache interval applied to every measured variant (the "
+             "PARITY synergy rows compare f32 at interval 1 vs int8 at "
+             "interval 3 — two invocations)",
+    )
     args = parser.parse_args()
 
     from osu_diffusion_tpu.utils import enable_compilation_cache
@@ -66,7 +72,8 @@ def main() -> None:
     results = {}
     for name in args.variants.split(","):
         m, p = setups[name]
-        sampler = Sampler(m, diffusion, cfg_scale=1.0, band=None, bucket=t_len)
+        sampler = Sampler(m, diffusion, cfg_scale=1.0, band=None, bucket=t_len,
+                          accel_interval=args.accel_interval)
         t0 = time.perf_counter()
         out = sampler(p, z, o, c, y, jax.random.PRNGKey(3))
         jax.block_until_ready(out)
