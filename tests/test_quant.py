@@ -343,6 +343,48 @@ def test_quant_rejects_einsum_layout():
         model.init(jax.random.PRNGKey(0), x, tt, o, c, y)
 
 
+def test_sample_cli_quantize_weights_with_accel(tmp_path, monkeypatch):
+    # the fastest serving config: --quantize-weights --accel-interval
+    # together through the real CLI (PARITY "speed-quality frontier")
+    torch = pytest.importorskip("torch")
+    import os
+
+    from osu_diffusion_tpu.cli import build_sample_parser, sample_main
+    from osu_diffusion_tpu.train.checkpoint import params_to_torch_state_dict
+
+    def tiny(**kw):
+        return DiT(DiTConfig(hidden_size=32, depth=3, num_heads=2, **kw))
+
+    monkeypatch.setitem(DiT_models, "DiT-T3", tiny)
+    model = DiT_models["DiT-T3"](num_classes=52670, context_size=CONTEXT_SIZE)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 2)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 8)), jnp.zeros((1, 8, CONTEXT_SIZE)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in params_to_torch_state_dict(params, num_label_rows=52671).items()
+    }
+    ckpt = str(tmp_path / "tiny3.pt")
+    torch.save({"ema": sd}, ckpt)
+
+    assets = os.path.join(os.path.dirname(__file__), "..", "assets", "toy_datasets")
+    beatmap = os.path.join(assets, "geometry", "test - geometry (OliBomby) [test0].osu")
+    args = build_sample_parser().parse_args([
+        "--beatmap", beatmap,
+        "--ckpt", ckpt,
+        "--model", "DiT-T3",
+        "--num-sampling-steps", "3",
+        "--quantize-weights",
+        "--accel-interval", "3",
+        "--no-use-pallas",
+        "--results-dir", str(tmp_path / "results"),
+    ])
+    written = sample_main(args)
+    assert written and all(os.path.exists(p) for p in written)
+
+
 def test_sample_cli_quantize_weights(tmp_path, monkeypatch):
     torch = pytest.importorskip("torch")
     import os
