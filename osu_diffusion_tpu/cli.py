@@ -10,6 +10,7 @@ import argparse
 import logging
 import os
 import re
+import warnings
 from datetime import datetime
 
 import jax
@@ -36,6 +37,44 @@ def _bool_flag(parser, name, default):
     parser.add_argument(
         f"--{name}", action=argparse.BooleanOptionalAction, default=default
     )
+
+
+def serving_regime_warnings(
+    quantize_weights: bool,
+    accel_interval: int,
+    t_len: int,
+    dispatch_batch: int,
+) -> list[str]:
+    """Measured regime cliffs of the fast serving flags (PARITY.md "int8
+    weight-only serving" / "Δ-cache accelerated sampling").
+
+    int8 weight-only pays only in the weight-bound regime — small T, small
+    batch — where streaming the weights dominates: measured 1.33x at T=32
+    but 0.98x at T=128 (MXU-bound) and 0.51x at dispatch batch 32. Δ-cache
+    intervals deeper than 3 stop paying at T<=32 (dispatch-bound: the
+    per-dispatch overhead, not the model, sets the floor). The flags are
+    documented accelerators, so warn whenever a requested combination is in
+    a measured lose-or-parity regime instead of silently slowing the user.
+    Returns the warning strings (also emitted via warnings.warn)."""
+    out: list[str] = []
+    if quantize_weights and (t_len >= 128 or dispatch_batch >= 8):
+        out.append(
+            f"--quantize-weights at T={t_len}, dispatch batch "
+            f"{dispatch_batch}: int8 weight-only serving pays only in the "
+            "weight-bound regime (T below ~128 tokens and small batch); "
+            "measured 0.98x at T=128 and 0.51x at batch 32 vs f32 "
+            "(PARITY.md). Expect parity-at-best; drop the flag for batched "
+            "or long-sequence throughput."
+        )
+    if accel_interval > 3 and t_len <= 32:
+        out.append(
+            f"--accel-interval {accel_interval} at T={t_len}: the chain is "
+            "dispatch-bound at short T, where intervals deeper than 3 stop "
+            "paying (PARITY.md); use --accel-interval 3 or less."
+        )
+    for msg in out:
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -172,6 +211,12 @@ def sample_main(args) -> list[str]:
         class_labels = [idx + i for i in range(args.num_variants)]
     else:
         class_labels = [args.num_classes]
+
+    # regime-cliff guardrails: CFG doubles the dispatched batch
+    serving_regime_warnings(
+        args.quantize_weights, args.accel_interval,
+        t_len=int(seq_len), dispatch_batch=2 * len(class_labels),
+    )
 
     rng, noise_rng, sample_rng = jax.random.split(rng, 3)
     z, o, c, y = prepare_cfg_inputs(

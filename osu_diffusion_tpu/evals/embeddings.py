@@ -62,7 +62,11 @@ def fit_tag_svm(
 
     xs = [embedding_table[idx] for idx in groups]
     ys = [np.full(len(idx), k) for k, idx in enumerate(groups)]
-    clf = svm.SVC(kernel="linear", probability=True)
+    # deliberate deviation: the reference passes probability=True
+    # (embedding_svm.py:74) but its only predict_proba use is commented out
+    # (:110) — only .predict is called. Dropping it avoids the sklearn>=1.9
+    # FutureWarning and the 5-fold Platt-calibration fit cost.
+    clf = svm.SVC(kernel="linear")
     clf.fit(np.concatenate(xs), np.concatenate(ys))
     return clf
 
@@ -183,9 +187,11 @@ def maps_by_mapper(df, mapper: str):
     # regexes, so mappers with metacharacters (e.g. "[Toy]", common in osu
     # usernames) select wrong groups or crash; escape the name instead
     name = re.escape(mapper)
+    # non-capturing groups: capturing groups in str.contains emit a pandas
+    # UserWarning ("match groups"); grouping is only for alternation here
     regex = (
-        f"(?!\\s?(de\\s)?(it|that|{name}))"
-        "(((^|[^\\S\r\n])(\\S)*([sz]'|'s))|((^|[^\\S\r\n])de\\s(\\S)*))"
+        f"(?!\\s?(?:de\\s)?(?:it|that|{name}))"
+        "(?:(?:(?:^|[^\\S\r\n])\\S*(?:[sz]'|'s))|(?:(?:^|[^\\S\r\n])de\\s\\S*))"
     )
     return df[
         ((df["Creator"] == mapper) | df["Difficulty"].str.contains(name))

@@ -226,20 +226,27 @@ def _adaln_mlp_quant_kernel(
 
 
 def adaln_mlp_quant(x, shift, scale, gate, w1q, s1, b1, w2q, s2, b2,
-                    block_t: int = DEFAULT_BLOCK_T, eps: float = 1e-6):
+                    block_t: int = DEFAULT_BLOCK_T, eps: float = 1e-6,
+                    interpret: bool = False):
     """Inference-only int8 fused MLP half: one kernel for
     x + gate * fc2(gelu(fc1(modulate(LN(x))))) with int8 w1q/w2q and
     per-output-channel scales s1 (H,) / s2 (D,). Serving path of
     DiTConfig.quant — no VJP (quantized trees are never trained).
     Interprets on the CPU backend (no XLA fallback exists for this path)."""
+    from osu_diffusion_tpu.ops.pallas_quant import _block_t_for, _interp_kwargs
+
     n, t, d = x.shape
     hdim = w1q.shape[1]
     block_h = _pick_block_h(hdim)
+    # cross-H-block fc2 partials accumulate in o_ref.dtype; the contract is
+    # the f32 serving stream — bf16 activations would round every partial
+    if x.dtype != jnp.float32:
+        raise TypeError(f"adaln_mlp_quant requires f32 activations, got {x.dtype}")
     # clamp the T block to the (sublane-aligned) real length: padding short
     # sequences to a fixed 128 block multiplies the row work 128/T-fold and
     # erases the int8 win exactly in its weight-bound home regime (measured
-    # 0.78x at T=32 before this clamp)
-    block_t = min(block_t, -(-t // 16) * 16)
+    # 0.78x at T=32 before this clamp) — shared policy in pallas_quant
+    block_t = _block_t_for(t, block_t)
     t_pad = -(-t // block_t) * block_t
     if t_pad != t:
         x = jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
@@ -254,7 +261,7 @@ def adaln_mlp_quant(x, shift, scale, gate, w1q, s1, b1, w2q, s2, b2,
         (1, block_t, d), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM
     )
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kwargs = {"interpret": True} if jax.default_backend() == "cpu" else {}
+    kwargs = _interp_kwargs(interpret)
     out = pl.pallas_call(
         functools.partial(_adaln_mlp_quant_kernel, eps=eps),
         out_shape=jax.ShapeDtypeStruct((n, t_pad, d), x.dtype),

@@ -27,7 +27,9 @@ def headline_inputs(n: int = 2, t_len: int = 128):
     z = jax.random.normal(jax.random.PRNGKey(1), (n, t_len, 2))
     o = jnp.cumsum(jnp.ones((n, t_len)) * 150, axis=1)
     c = jax.random.normal(jax.random.PRNGKey(2), (n, t_len, CONTEXT_SIZE))
-    y = jnp.asarray([1] * (n - 1) + [52670], dtype=jnp.int32)
+    # CFG-doubling convention: first half real labels, second half null
+    # (52670), for ANY batch size — not just the headline n=2.
+    y = jnp.asarray([1] * (n // 2) + [52670] * (n - n // 2), dtype=jnp.int32)
     init_args = (
         jnp.zeros((n, t_len, 2)),
         jnp.zeros((n,), jnp.int32),

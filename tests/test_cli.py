@@ -167,3 +167,70 @@ def test_sample_cli_make_animation(tiny_registry, tiny_ckpt, tmp_path):
     assert len(written) == 1
     gifs = globmod.glob(str(tmp_path / "results" / "*" / "animation.gif"))
     assert len(gifs) == 1 and os.path.getsize(gifs[0]) > 0
+
+
+class TestServingRegimeWarnings:
+    """Guardrails for the measured fast-flag regime cliffs (PARITY.md):
+    int8 pays only below ~128 tokens/dispatch and at small batch; Δ-cache
+    intervals >3 stop paying at T<=32."""
+
+    def test_int8_long_t_warns(self):
+        from osu_diffusion_tpu.cli import serving_regime_warnings
+
+        with pytest.warns(RuntimeWarning, match="quantize-weights"):
+            out = serving_regime_warnings(True, 1, t_len=128, dispatch_batch=2)
+        assert len(out) == 1
+
+    def test_int8_big_batch_warns(self):
+        from osu_diffusion_tpu.cli import serving_regime_warnings
+
+        with pytest.warns(RuntimeWarning, match="batch"):
+            out = serving_regime_warnings(True, 1, t_len=32, dispatch_batch=32)
+        assert len(out) == 1
+
+    def test_int8_home_regime_silent(self):
+        import warnings as _w
+
+        from osu_diffusion_tpu.cli import serving_regime_warnings
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            assert serving_regime_warnings(True, 3, t_len=32, dispatch_batch=2) == []
+
+    def test_accel_deep_interval_short_t_warns(self):
+        from osu_diffusion_tpu.cli import serving_regime_warnings
+
+        with pytest.warns(RuntimeWarning, match="accel-interval"):
+            out = serving_regime_warnings(False, 5, t_len=32, dispatch_batch=2)
+        assert len(out) == 1
+
+    def test_accel_deep_interval_long_t_silent(self):
+        import warnings as _w
+
+        from osu_diffusion_tpu.cli import serving_regime_warnings
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            assert serving_regime_warnings(False, 5, t_len=128, dispatch_batch=2) == []
+
+
+def test_sample_cli_warns_on_quantize_big_batch(tiny_registry, tiny_ckpt, tmp_path):
+    """e2e: --quantize-weights with --num-variants 4 (CFG-doubled dispatch
+    batch 8) is in the measured lose regime and must warn."""
+    from osu_diffusion_tpu.cli import build_sample_parser, sample_main
+
+    beatmap = os.path.join(ASSETS, "geometry", "test - geometry (OliBomby) [test0].osu")
+    args = build_sample_parser().parse_args([
+        "--beatmap", beatmap,
+        "--ckpt", tiny_ckpt,
+        "--model", tiny_registry,
+        "--num-sampling-steps", "2",
+        "--results-dir", str(tmp_path / "results"),
+        "--no-use-pallas",
+        "--quantize-weights",
+        "--style-id", "2116103",  # present in the bundled beatmap_idx.pickle
+        "--num-variants", "4",
+    ])
+    with pytest.warns(RuntimeWarning, match="quantize-weights"):
+        written = sample_main(args)
+    assert len(written) == 4

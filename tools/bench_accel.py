@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -79,13 +80,19 @@ def main() -> None:
             base = best
         results[interval] = {
             "steps_per_sec_best": round(best, 1),
+            "steps_per_sec_median": round(statistics.median(per_group), 1),
             "per_group": [round(v, 1) for v in per_group],
             "compile_s": round(compile_s, 1),
-            "speedup_vs_exact": round(best / base, 3) if base else None,
         }
         print(json.dumps({"interval": interval, **results[interval]}),
               flush=True)
 
+    # speedups post-processed once base is known, so any --intervals order
+    # (e.g. 2,1,3) reports every row
+    for interval, row in results.items():
+        row["speedup_vs_exact"] = (
+            round(row["steps_per_sec_best"] / base, 3) if base else None
+        )
     print(json.dumps({"model": args.model, "results": results}))
 
 

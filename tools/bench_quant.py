@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -85,6 +86,7 @@ def main() -> None:
         )
         results[name] = {
             "steps_per_sec_best": round(max(per_group), 1),
+            "steps_per_sec_median": round(statistics.median(per_group), 1),
             "per_group": [round(v, 1) for v in per_group],
             "compile_s": round(compile_s, 1),
         }
