@@ -28,8 +28,8 @@ def test_generated_maps_parse_and_featurize(tmp_path):
         # enough rows for several seq-len-128 windows
         assert seq.shape[0] >= 176
         assert seq.shape[1] == 19
-        # times strictly increasing within tolerance of int rounding
-        assert np.all(np.diff(seq[:, 2]) >= 0)
+        # times non-decreasing within int-rounding tolerance
+        assert np.all(np.diff(seq[:, 2]) >= -0.5)
         # coordinates near the playfield: anchors are clipped in-field but
         # computed slider END positions (curve engine) may overshoot a bit,
         # as on real maps — the model's x0 clamp is [-1,2] in normalized

@@ -205,8 +205,10 @@ def generate_map(idx: int, set_idx: int, seed: int,
                     f"{curve}|{'|'.join(cps)},{repeats},{length}"
                 )
                 datapoints += 2 + n_ctrl
-                # span duration from SliderMultiplier/SV; advance past the tail
-                span_ms = length / (slider_mult * 100.0 * (100.0 / sv_pct)) * beat_len
+                # span duration per the .osu spec (velocity = mult*100*SV
+                # px/beat, SV = sv_pct/100 from the inherited point);
+                # advance past the tail so datapoint times stay monotone
+                span_ms = length * beat_len / (slider_mult * sv_pct)
                 t += max(gap, span_ms * repeats + gap / 2)
             elif r < 0.07:
                 end = int(round(t + beat_len * rng.randint(2, 4)))
