@@ -142,6 +142,14 @@ def build_sample_parser() -> argparse.ArgumentParser:
                         metavar=("LO", "HI"),
                         help="block range [LO, HI) the Δ-cache covers "
                              "(default: the middle two-thirds of the depth)")
+    parser.add_argument("--accel-tau", type=float, default=None,
+                        help="adaptive Δ-cache: reuse the cached Δ while the "
+                             "relative input drift since the last full step "
+                             "stays below TAU (error-driven skips replace "
+                             "the fixed --accel-interval schedule)")
+    parser.add_argument("--accel-max-skip", type=int, default=7,
+                        help="adaptive Δ-cache staleness cap: force a full "
+                             "step after this many consecutive skips")
     return parser
 
 
@@ -186,7 +194,9 @@ def sample_main(args) -> list[str]:
     # Δ-cache acceleration statically slices the depth loop, so it needs the
     # unrolled block layout; restore_params_any converts scan-layout
     # checkpoints in-memory either way
-    scan_blocks = args.scan_blocks and args.accel_interval <= 1
+    scan_blocks = (
+        args.scan_blocks and args.accel_interval <= 1 and args.accel_tau is None
+    )
     if args.quantize_weights:
         from osu_diffusion_tpu.models.quantize import restore_quantized
 
@@ -230,6 +240,8 @@ def sample_main(args) -> list[str]:
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32,
         accel_interval=args.accel_interval,
         accel_span=tuple(args.accel_span) if args.accel_span else None,
+        accel_tau=args.accel_tau,
+        accel_max_skip=args.accel_max_skip,
     )
 
     n = len(class_labels)

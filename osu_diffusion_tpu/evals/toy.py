@@ -179,6 +179,10 @@ def main(argv=None):
                              "residual in between; 1 = exact")
     parser.add_argument("--accel-span", type=int, nargs=2, default=None,
                         metavar=("LO", "HI"))
+    parser.add_argument("--accel-tau", type=float, default=None,
+                        help="adaptive Δ-cache (see Sampler): error-driven "
+                             "skips below this relative input drift")
+    parser.add_argument("--accel-max-skip", type=int, default=7)
     parser.add_argument("--quantize-weights", action="store_true",
                         help="int8 weight-only serving (DiTConfig.quant): "
                              "measures the accuracy cost of the quantized "
@@ -210,6 +214,8 @@ def main(argv=None):
         model, diffusion, band=args.seq_len or 128,
         accel_interval=args.accel_interval,
         accel_span=tuple(args.accel_span) if args.accel_span else None,
+        accel_tau=args.accel_tau,
+        accel_max_skip=args.accel_max_skip,
     )
     rng = jax.random.PRNGKey(args.seed)
 

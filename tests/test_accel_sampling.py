@@ -221,3 +221,70 @@ def test_accel_inpaint_path():
     out = accel(params, z, o, c, y, jax.random.PRNGKey(4),
                 known_x=known, known_mask=free)
     np.testing.assert_allclose(np.asarray(out[:, 8:, :]), 0.0, atol=1e-6)
+
+
+def test_adaptive_tau_zero_is_exact_and_all_full():
+    """tau=0: the drift is always > 0 after the first step, so every step
+    records — the adaptive chain IS the exact chain, and the reported
+    full-model-step count equals the chain length."""
+    model = _model()
+    z, o, c, y = _chain_inputs()
+    params = _jitter(model.init(
+        jax.random.PRNGKey(0), z, jnp.zeros((2,), jnp.int32), o, c, y
+    )["params"])
+    diffusion = create_diffusion("10", noise_schedule="squaredcos_cap_v2")
+    exact = Sampler(model, diffusion, cfg_scale=1.5, bucket=16)
+    adaptive = Sampler(model, diffusion, cfg_scale=1.5, bucket=16,
+                       accel_tau=0.0, accel_span=SPAN)
+    rng = jax.random.PRNGKey(4)
+    out_e = exact(params, z, o, c, y, rng)
+    out_a = adaptive(params, z, o, c, y, rng)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_e), atol=1e-6)
+    assert int(adaptive.last_full_model_steps) == 10
+
+
+def test_adaptive_huge_tau_hits_staleness_cap():
+    """tau=inf never sees enough drift: only the first step, the final
+    step, and the max_skip staleness cap force records. With max_skip=3 and
+    a 10-step chain the record pattern is steps {0, 4, 8, 9 (final)} = 4."""
+    model = _model()
+    z, o, c, y = _chain_inputs()
+    params = _jitter(model.init(
+        jax.random.PRNGKey(0), z, jnp.zeros((2,), jnp.int32), o, c, y
+    )["params"])
+    diffusion = create_diffusion("10", noise_schedule="squaredcos_cap_v2")
+    adaptive = Sampler(model, diffusion, cfg_scale=1.5, bucket=16,
+                       accel_tau=1e9, accel_span=SPAN, accel_max_skip=3)
+    out = adaptive(params, z, o, c, y, jax.random.PRNGKey(4))
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert int(adaptive.last_full_model_steps) == 4
+
+
+def test_adaptive_intermediate_tau_skips_and_is_deterministic():
+    """A moderate tau lands between the extremes, actually skipping and
+    staying deterministic; the fixed-interval count is reported too."""
+    model = _model()
+    z, o, c, y = _chain_inputs()
+    params = _jitter(model.init(
+        jax.random.PRNGKey(0), z, jnp.zeros((2,), jnp.int32), o, c, y
+    )["params"])
+    diffusion = create_diffusion("20", noise_schedule="squaredcos_cap_v2")
+    adaptive = Sampler(model, diffusion, cfg_scale=1.5, bucket=16,
+                       accel_tau=0.15, accel_span=SPAN, accel_max_skip=5)
+    rng = jax.random.PRNGKey(4)
+    out = adaptive(params, z, o, c, y, rng)
+    n_full = int(adaptive.last_full_model_steps)
+    assert 2 <= n_full < 20
+    out2 = adaptive(params, z, o, c, y, rng)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    fixed = Sampler(model, diffusion, cfg_scale=1.5, bucket=16,
+                    accel_interval=2, accel_span=SPAN)
+    fixed(params, z, o, c, y, rng)
+    # every 2nd (10 even positions) + the forced final step
+    assert int(fixed.last_full_model_steps) == 11
+
+
+def test_adaptive_guards():
+    diffusion = create_diffusion("10", noise_schedule="squaredcos_cap_v2")
+    with pytest.raises(ValueError, match="unrolled block layout"):
+        Sampler(_model(scan_blocks=True), diffusion, accel_tau=0.1)

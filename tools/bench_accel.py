@@ -30,6 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--intervals", type=str, default="1,2,3")
+    parser.add_argument("--taus", type=str, default="",
+                        help="comma-separated adaptive accel_tau values to "
+                             "sweep after the fixed intervals (error-driven "
+                             "skip schedule; rows report the measured number "
+                             "of full model steps out of the chain)")
+    parser.add_argument("--max-skip", type=int, default=7)
     parser.add_argument("--groups", type=int, default=10)
     parser.add_argument("--runs", type=int, default=10)
     parser.add_argument("--model", type=str, default="DiT-B")
@@ -87,9 +93,39 @@ def main() -> None:
         print(json.dumps({"interval": interval, **results[interval]}),
               flush=True)
 
+    for tau in [float(s) for s in args.taus.split(",") if s]:
+        sampler = Sampler(
+            model,
+            diffusion,
+            cfg_scale=1.0,
+            band=None,
+            bucket=t_len,
+            accel_tau=tau,
+            accel_max_skip=args.max_skip,
+        )
+        t0 = time.perf_counter()
+        out = sampler(params, z, o, c, y, jax.random.PRNGKey(3))
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+        full_steps = int(sampler.last_full_model_steps)
+
+        per_group = measure_grouped(
+            lambda j: sampler(params, z, o, c, y, jax.random.PRNGKey(4 + j)),
+            steps=steps, groups=args.groups, runs=args.runs,
+        )
+        results[f"tau{tau}"] = {
+            "steps_per_sec_best": round(max(per_group), 1),
+            "steps_per_sec_median": round(statistics.median(per_group), 1),
+            "per_group": [round(v, 1) for v in per_group],
+            "compile_s": round(compile_s, 1),
+            "full_model_steps": full_steps,
+            "chain_steps": steps,
+        }
+        print(json.dumps({"tau": tau, **results[f"tau{tau}"]}), flush=True)
+
     # speedups post-processed once base is known, so any --intervals order
     # (e.g. 2,1,3) reports every row
-    for interval, row in results.items():
+    for key, row in results.items():
         row["speedup_vs_exact"] = (
             round(row["steps_per_sec_best"] / base, 3) if base else None
         )
