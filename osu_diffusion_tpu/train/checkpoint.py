@@ -223,7 +223,34 @@ def restore_params_any(ckpt_path: str, model) -> dict:
                 logging.getLogger(__name__).warning(
                     "targeted orbax restore failed (%s); trying untyped restore", e
                 )
-        restored = ckptr.restore(os.path.abspath(ckpt_path))
+        # metadata-driven restore: rebuild the on-disk tree as backend-
+        # agnostic ShapeDtypeStruct targets. This is what makes train-state
+        # checkpoints loadable on ANY backend: the untyped restore below
+        # materializes every leaf on the device it was SAVED on, so a
+        # TPU-written checkpoint would fail to load for CPU-side sampling
+        # ("Device TPU v5 lite0 was not found"). Restoring opt_state too is
+        # wasted IO, but StandardCheckpointer has no partial restore
+        # (PLACEHOLDER is a PyTreeCheckpointHandler feature).
+        restored = None
+        try:
+            meta = ckptr.metadata(os.path.abspath(ckpt_path))
+            tree = getattr(getattr(meta, "item_metadata", None), "tree", None)
+            if isinstance(tree, dict) and ("ema_params" in tree or "params" in tree):
+                dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+                target = jax.tree.map(
+                    lambda mm: jax.ShapeDtypeStruct(mm.shape, mm.dtype, sharding=dev),
+                    tree,
+                )
+                restored = ckptr.restore(os.path.abspath(ckpt_path), target)
+        except Exception as e:  # version-specific metadata shapes — fall back
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "metadata-driven orbax restore failed (%s); untyped restore", e
+            )
+            restored = None
+        if restored is None:
+            restored = ckptr.restore(os.path.abspath(ckpt_path))
     if "ema_params" in restored:
         restored = restored["ema_params"]
     elif "params" in restored:
