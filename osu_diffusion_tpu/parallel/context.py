@@ -128,7 +128,7 @@ def context_parallel_banded_attention(
     `valid_len`: real length when T is padded. Exact same semantics as
     ops.attention.banded_attention_mask / banded_flash_attention on one device.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     p = mesh.shape[axis]
     t = q.shape[2]
@@ -143,6 +143,6 @@ def context_parallel_banded_attention(
     )
     f = shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return f(q, k, v)

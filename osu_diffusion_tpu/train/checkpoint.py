@@ -375,14 +375,16 @@ def save_torch_compatible(
     strict load rejects a padded (multiple-of-16) table."""
     import torch
 
+    # np.array (not ascontiguousarray): jax exports non-writable views, and
+    # torch.from_numpy warns on them — an owning copy is required either way
     torch_sd = {
-        k: torch.from_numpy(np.ascontiguousarray(v))
+        k: torch.from_numpy(np.array(v))
         for k, v in params_to_torch_state_dict(
             state.params, num_label_rows=num_label_rows
         ).items()
     }
     torch_ema = {
-        k: torch.from_numpy(np.ascontiguousarray(v))
+        k: torch.from_numpy(np.array(v))
         for k, v in params_to_torch_state_dict(
             state.ema_params, num_label_rows=num_label_rows
         ).items()
