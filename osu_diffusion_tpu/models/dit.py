@@ -163,6 +163,7 @@ class SelfAttention(nn.Module):
     num_heads: int
     attn_layout: str = "packed"
     quant: bool = False
+    flash_block: int = 128
 
     @nn.compact
     def __call__(
@@ -208,6 +209,7 @@ class SelfAttention(nn.Module):
             use_pallas=use_pallas, valid_len=valid_len,
             cp_mesh=cp_mesh, cp_axis=cp_axis, layout=self.attn_layout,
             quant_scales=quant_scales, quant_mod=quant_mod,
+            flash_block=self.flash_block,
         )
 
 
@@ -278,6 +280,9 @@ class DiTBlock(nn.Module):
     # selects only the attention core — the quant MLP kernel replaces the
     # fused adaLN-MLP kernel.
     quant: bool = False
+    # flash-attention kernel block size (q rows per program AND key-window
+    # stride) — the long-T tuning knob (PARITY.md "Long-T flash block sweep")
+    flash_block: int = 128
 
     @nn.compact
     def __call__(
@@ -318,7 +323,7 @@ class DiTBlock(nn.Module):
             # the int8 projection kernels (ops/attention.py quant_mod note)
             x = SelfAttention(
                 self.hidden_size, self.num_heads, self.attn_layout,
-                self.quant, name="attn"
+                self.quant, self.flash_block, name="attn"
             )(
                 x, mask, band, use_pallas_attn, valid_len, cp_mesh, cp_axis,
                 quant_mod=(shift_msa, scale_msa, gate_msa),
@@ -327,7 +332,7 @@ class DiTBlock(nn.Module):
             h = modulate(layer_norm(x), shift_msa, scale_msa)
             attn = SelfAttention(
                 self.hidden_size, self.num_heads, self.attn_layout,
-                self.quant, name="attn"
+                self.quant, self.flash_block, name="attn"
             )(
                 h, mask, band, use_pallas_attn, valid_len, cp_mesh, cp_axis
             )
@@ -456,6 +461,11 @@ class DiTConfig:
     # tree with models.quantize.quantize_params. Embedders, label table and
     # the final layer stay full-precision (~2% of weight bytes).
     quant: bool = False
+    # flash-attention kernel block size (q rows per program AND key-window
+    # stride; ops/pallas_attention.py). Purely a scheduling knob — outputs
+    # and gradients are block-independent (tested) — exposed for the long-T
+    # banded-training sweep (PARITY.md "Long-T flash block sweep").
+    flash_block: int = 128
 
     @property
     def out_channels(self) -> int:
@@ -566,7 +576,7 @@ class DiT(nn.Module):
                 DiTBlock(
                     cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
                     cfg.attn_layout, cfg.mlp_bwd, cfg.pallas_ops,
-                    cfg.quant, name="blocks"
+                    cfg.quant, cfg.flash_block, name="blocks"
                 ),
                 x,
                 None,
@@ -587,7 +597,7 @@ class DiT(nn.Module):
                 block = DiTBlock(
                     cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
                     cfg.attn_layout, cfg.mlp_bwd, cfg.pallas_ops,
-                    cfg.quant, name=f"blocks_{i}"
+                    cfg.quant, cfg.flash_block, name=f"blocks_{i}"
                 )
                 x = run_block(block, x, cond, attn_mask)
                 if delta_mode == "record" and i == hi - 1:

@@ -64,6 +64,7 @@ def multi_head_attention(
     layout: str = "packed",
     quant_scales: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     quant_mod: tuple | None = None,
+    flash_block: int = 128,
 ) -> jnp.ndarray:
     """Self-attention over x (N, T, D) with packed qkv projection.
 
@@ -168,7 +169,9 @@ def multi_head_attention(
     elif use_pallas and band is not None:
         from osu_diffusion_tpu.ops.pallas_attention import banded_flash_attention
 
-        o = banded_flash_attention(q, k, v, band, t_real=valid_len)
+        o = banded_flash_attention(
+            q, k, v, band, block=flash_block, t_real=valid_len
+        )
     else:
         if mask is None and band is not None:
             mask = banded_attention_mask(t, band)

@@ -30,15 +30,42 @@ NEG_INF = -1e30
 # avoiding sublane<->lane transposes (the layout jax's own TPU flash kernel
 # uses for its l/m residuals).
 LANE = 128
+# slim-stats mode (the long-T backward-traffic experiment, PARITY.md "Long-T
+# flash block sweep"): the LSE residual is stored COMPACT as (n*h, t) f32 —
+# 128x less HBM than the lane-broadcast layout — and the softmax-jacobian
+# delta row term is computed inside the backward kernels from o·do instead of
+# being materialized as a second broadcast array. The sublane<->lane
+# transposes this requires are done exactly with a diagonal-mask reduction
+# (VPU, no MXU rounding). Trace-time default for model callers; kernels take
+# it per-call.
+SLIM_STATS_DEFAULT = False
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _col_to_row(col):
+    """(B, 1) -> (1, B) EXACTLY, without MXU rounding: broadcast the column
+    across lanes, keep the diagonal, reduce rows — each output lane sums one
+    nonzero f32 term. A (B, B) VPU op, negligible next to the score matmuls."""
+    b = col.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return jnp.sum(jnp.where(r == c, col, 0.0), axis=0, keepdims=True)
+
+
+def _row_to_col(row):
+    """(1, B) -> (B, 1) exactly (see _col_to_row)."""
+    b = row.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return jnp.sum(jnp.where(r == c, row, 0.0), axis=1, keepdims=True)
+
+
 def _banded_attn_fwd_kernel(
     q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref, *, band: int, block: int,
-    scale: float, matmul_dtype, bounds_ref=None,
+    scale: float, matmul_dtype, bounds_ref=None, slim_stats: bool = False,
 ):
     """One (batch*head, q-block) program.
 
@@ -108,7 +135,11 @@ def _banded_attn_fwd_kernel(
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     if lse_ref is not None:
         lse = m + jnp.log(jnp.maximum(l, 1e-30))
-        lse_ref[0] = jnp.broadcast_to(lse, (block, LANE)).astype(lse_ref.dtype)
+        if slim_stats:
+            # compact (1, B) row of the (n*h, t_pad) LSE residual
+            lse_ref[...] = _col_to_row(lse).astype(lse_ref.dtype)
+        else:
+            lse_ref[0] = jnp.broadcast_to(lse, (block, LANE)).astype(lse_ref.dtype)
 
 
 def _pad_bh(a, t_pad):
@@ -124,7 +155,7 @@ def _smem_scalar_spec():
 
 def _banded_flash_fwd_impl(
     q, k, v, band: int, block: int, matmul_dtype, t_real=None,
-    with_lse: bool = False,
+    with_lse: bool = False, slim_stats: bool = False,
 ):
     n, h, t, dh = q.shape
     # callers that pre-pad T (e.g. Sampler length bucketing) pass the unpadded
@@ -141,13 +172,19 @@ def _banded_flash_fwd_impl(
     out_shape = [jax.ShapeDtypeStruct((n * h, t_pad, dh), q.dtype)]
     out_specs = [q_spec]
     if with_lse:
-        out_shape.append(jax.ShapeDtypeStruct((n * h, t_pad, LANE), jnp.float32))
-        out_specs.append(
-            pl.BlockSpec((1, block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-        )
+        if slim_stats:
+            out_shape.append(jax.ShapeDtypeStruct((n * h, t_pad), jnp.float32))
+            out_specs.append(
+                pl.BlockSpec((1, block), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+            )
+        else:
+            out_shape.append(jax.ShapeDtypeStruct((n * h, t_pad, LANE), jnp.float32))
+            out_specs.append(
+                pl.BlockSpec((1, block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+            )
     kernel = functools.partial(
         _banded_attn_fwd_kernel, band=band, block=block,
-        scale=scale, matmul_dtype=matmul_dtype,
+        scale=scale, matmul_dtype=matmul_dtype, slim_stats=slim_stats,
     )
     if not with_lse:
         kernel = functools.partial(kernel, lse_ref=None)
@@ -160,8 +197,9 @@ def _banded_flash_fwd_impl(
     )(qp, kp, vp, valid)
     out = outs[0].reshape(n, h, t_pad, dh)[:, :, :t, :]
     if with_lse:
-        # keep only the slim (n*h, t_pad) row of the lane-broadcast LSE
-        return out, outs[1][:, :, 0]
+        # the returned LSE is the slim (n*h, t_pad) row either way; the lane
+        # layout just pays a 128x-wider write + slice to get there
+        return out, (outs[1] if slim_stats else outs[1][:, :, 0])
     return out
 
 
@@ -325,8 +363,9 @@ def _ranged_bwd_impl(q, k, v, o, lse, g, bounds, band: int, block: int,
 
 
 def _banded_attn_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, valid_ref, *refs,
+    q_ref, k_ref, v_ref, do_ref, s1_ref, s2_ref, valid_ref, *refs,
     band: int, block: int, scale: float, matmul_dtype, has_bounds: bool = False,
+    slim_stats: bool = False,
 ):
     if has_bounds:
         bounds_ref, dq_ref = refs
@@ -334,8 +373,11 @@ def _banded_attn_bwd_dq_kernel(
         bounds_ref, (dq_ref,) = None, refs
     """dq for one (batch*head, q-block): dq = sum_kb (p*(dp-delta)) @ k * scale.
 
-    q_ref/do_ref/dq_ref: (1, B, Dh) blocked; k_ref/v_ref: (1, T_pad, Dh) full;
-    lse_ref/delta_ref: (1, B, LANE) blocked (row stats lane-broadcast).
+    q_ref/do_ref/dq_ref: (1, B, Dh) blocked; k_ref/v_ref: (1, T_pad, Dh) full.
+    Row stats: lane-broadcast mode reads s1=LSE, s2=delta as (1, B, LANE)
+    blocked tiles; slim mode reads s1=o (1, B, Dh) blocked and s2=LSE (1, B)
+    compact, deriving delta = sum_d o·do in-kernel (the HBM-traffic
+    experiment, PARITY.md "Long-T flash block sweep").
     """
     j = pl.program_id(1)
     t_pad = k_ref.shape[1]
@@ -344,8 +386,17 @@ def _banded_attn_bwd_dq_kernel(
 
     q = (q_ref[0].astype(jnp.float32) * scale).astype(matmul_dtype)
     do = do_ref[0].astype(matmul_dtype)
-    lse = lse_ref[0][:, :1].astype(jnp.float32)      # (B, 1)
-    delta = delta_ref[0][:, :1].astype(jnp.float32)  # (B, 1)
+    if slim_stats:
+        o_ref, lse_ref = s1_ref, s2_ref
+        lse = _row_to_col(lse_ref[...].astype(jnp.float32))  # (B, 1)
+        delta = jnp.sum(
+            o_ref[0].astype(jnp.float32) * do_ref[0].astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+    else:
+        lse_ref, delta_ref = s1_ref, s2_ref
+        lse = lse_ref[0][:, :1].astype(jnp.float32)      # (B, 1)
+        delta = delta_ref[0][:, :1].astype(jnp.float32)  # (B, 1)
     q_idx = j * block + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
 
     reach = _cdiv(band, block)
@@ -393,8 +444,9 @@ def _banded_attn_bwd_dq_kernel(
 
 
 def _banded_attn_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, valid_ref, *refs,
+    q_ref, k_ref, v_ref, do_ref, s1_ref, s2_ref, valid_ref, *refs,
     band: int, block: int, scale: float, matmul_dtype, has_bounds: bool = False,
+    slim_stats: bool = False,
 ):
     if has_bounds:
         bounds_ref, dk_ref, dv_ref = refs
@@ -403,9 +455,11 @@ def _banded_attn_bwd_dkv_kernel(
     """dk/dv for one (batch*head, key-block).
 
     k_ref/v_ref/dk_ref/dv_ref: (1, B, Dh) blocked; q_ref/do_ref: (1, T_pad, Dh)
-    full; lse_ref/delta_ref: (1, T_pad, LANE) full. A key at index k is seen by
-    queries q in [k - L, k + L) (the transpose of q - L < k <= q + L), so the
-    same block reach applies.
+    full. Row stats: lane-broadcast mode reads s1=LSE, s2=delta as
+    (1, T_pad, LANE) full slabs; slim mode reads s1=o (1, T_pad, Dh) full and
+    s2=LSE (1, T_pad) compact, deriving per-q-block delta in-kernel. A key at
+    index k is seen by queries q in [k - L, k + L) (the transpose of
+    q - L < k <= q + L), so the same block reach applies.
     """
     i = pl.program_id(1)
     t_pad = q_ref.shape[1]
@@ -430,8 +484,20 @@ def _banded_attn_bwd_dkv_kernel(
             q_ref[0, pl.ds(start, block), :].astype(jnp.float32) * scale
         ).astype(matmul_dtype)
         do_blk = do_ref[0, pl.ds(start, block), :].astype(matmul_dtype)
-        lse_q = lse_ref[0, pl.ds(start, block), :1].astype(jnp.float32)
-        delta_q = delta_ref[0, pl.ds(start, block), :1].astype(jnp.float32)
+        if slim_stats:
+            o_ref, lse_ref = s1_ref, s2_ref
+            lse_q = _row_to_col(
+                lse_ref[:, pl.ds(start, block)].astype(jnp.float32)
+            )
+            delta_q = jnp.sum(
+                o_ref[0, pl.ds(start, block), :].astype(jnp.float32)
+                * do_ref[0, pl.ds(start, block), :].astype(jnp.float32),
+                axis=-1, keepdims=True,
+            )
+        else:
+            lse_ref, delta_ref = s1_ref, s2_ref
+            lse_q = lse_ref[0, pl.ds(start, block), :1].astype(jnp.float32)
+            delta_q = delta_ref[0, pl.ds(start, block), :1].astype(jnp.float32)
 
         s = jax.lax.dot_general(
             q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -472,7 +538,7 @@ def _banded_attn_bwd_dkv_kernel(
 
 def _banded_flash_bwd_impl(
     q, k, v, o, lse, g, band: int, block: int, matmul_dtype,
-    t_real,
+    t_real, slim_stats: bool = False,
 ):
     n, h, t, dh = q.shape
     valid = jnp.asarray(t if t_real is None else t_real, jnp.int32).reshape(1, 1)
@@ -481,44 +547,67 @@ def _banded_flash_bwd_impl(
     gp = _pad_bh(g, t_pad)
     scale = 1.0 / (dh ** 0.5)
 
-    # delta_i = sum_d o_i do_i (the softmax-jacobian row term), lane-broadcast
-    delta = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
-    delta = jnp.pad(delta.reshape(n * h, t), [(0, 0), (0, t_pad - t)])
-    delta_b = jnp.broadcast_to(delta[:, :, None], (n * h, t_pad, LANE))
-    lse_b = jnp.broadcast_to(lse[:, :, None], (n * h, t_pad, LANE))
+    if slim_stats:
+        # the kernels read o (already a saved residual) and the compact
+        # (n*h, t_pad) LSE; delta = sum_d o·do is derived in-kernel, so no
+        # lane-broadcast stat array ever exists in HBM
+        s1 = _pad_bh(o, t_pad)
+        s2 = jnp.pad(lse, [(0, 0), (0, t_pad - lse.shape[1])])
+        stat1_dq = pl.BlockSpec(
+            (1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        )
+        stat2_dq = pl.BlockSpec(
+            (1, block), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        )
+        stat1_dkv = pl.BlockSpec(
+            (1, t_pad, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        stat2_dkv = pl.BlockSpec(
+            (1, t_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        # delta_i = sum_d o_i do_i (softmax-jacobian row term), lane-broadcast
+        delta = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+        delta = jnp.pad(delta.reshape(n * h, t), [(0, 0), (0, t_pad - t)])
+        s2 = jnp.broadcast_to(delta[:, :, None], (n * h, t_pad, LANE))
+        s1 = jnp.broadcast_to(lse[:, :, None], (n * h, t_pad, LANE))
+        stat1_dq = stat2_dq = pl.BlockSpec(
+            (1, block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        )
+        stat1_dkv = stat2_dkv = pl.BlockSpec(
+            (1, t_pad, LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        )
 
     grid = (n * h, t_pad // block)
     blk = lambda: pl.BlockSpec((1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec((1, t_pad, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
-    stat_blk = pl.BlockSpec((1, block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    stat_full = pl.BlockSpec((1, t_pad, LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
         functools.partial(
             _banded_attn_bwd_dq_kernel, band=band, block=block,
-            scale=scale, matmul_dtype=matmul_dtype,
+            scale=scale, matmul_dtype=matmul_dtype, slim_stats=slim_stats,
         ),
         out_shape=jax.ShapeDtypeStruct((n * h, t_pad, dh), q.dtype),
         grid=grid,
-        in_specs=[blk(), full(), full(), blk(), stat_blk, stat_blk,
+        in_specs=[blk(), full(), full(), blk(), stat1_dq, stat2_dq,
                   _smem_scalar_spec()],
         out_specs=blk(),
-    )(qp, kp, vp, gp, lse_b, delta_b, valid)
+    )(qp, kp, vp, gp, s1, s2, valid)
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _banded_attn_bwd_dkv_kernel, band=band, block=block,
-            scale=scale, matmul_dtype=matmul_dtype,
+            scale=scale, matmul_dtype=matmul_dtype, slim_stats=slim_stats,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((n * h, t_pad, dh), k.dtype),
             jax.ShapeDtypeStruct((n * h, t_pad, dh), v.dtype),
         ],
         grid=grid,
-        in_specs=[full(), blk(), blk(), full(), stat_full, stat_full,
+        in_specs=[full(), blk(), blk(), full(), stat1_dkv, stat2_dkv,
                   _smem_scalar_spec()],
         out_specs=[blk(), blk()],
-    )(qp, kp, vp, gp, lse_b, delta_b, valid)
+    )(qp, kp, vp, gp, s1, s2, valid)
 
     unpad = lambda a: a.reshape(n, h, t_pad, dh)[:, :, :t, :]
     return unpad(dq), unpad(dk), unpad(dv)
@@ -538,7 +627,7 @@ def _xla_banded_attention(q, k, v, band: int, t_real: int | None = None) -> jnp.
 def banded_flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     band: int, block: int = DEFAULT_BLOCK, matmul_dtype=jnp.bfloat16,
-    t_real=None,
+    t_real=None, slim_stats: bool | None = None,
 ) -> jnp.ndarray:
     """q,k,v: (N, H, T, Dh) -> (N, H, T, Dh), band half-width L (static).
 
@@ -547,27 +636,34 @@ def banded_flash_attention(
     masked out. It may be a Python int OR a traced scalar: it rides into the
     kernels as an SMEM operand, so ONE compiled program serves every real
     length within a padded bucket (the Sampler's compile-once-per-bucket
-    contract)."""
+    contract).
+
+    `slim_stats` (None = SLIM_STATS_DEFAULT): store the LSE residual compact
+    and derive delta in the backward kernels — identical math (exact
+    transposes, same f32 reductions), 128x less stat HBM traffic."""
     valid = jnp.asarray(q.shape[2] if t_real is None else t_real, jnp.int32)
-    return _banded_flash_vjp(q, k, v, valid, band, block, matmul_dtype)
+    slim = SLIM_STATS_DEFAULT if slim_stats is None else slim_stats
+    return _banded_flash_vjp(q, k, v, valid, band, block, matmul_dtype, slim)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _banded_flash_vjp(q, k, v, valid, band, block, matmul_dtype):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _banded_flash_vjp(q, k, v, valid, band, block, matmul_dtype, slim_stats):
     return _banded_flash_fwd_impl(q, k, v, band, block, matmul_dtype, valid)
 
 
-def _fwd(q, k, v, valid, band, block, matmul_dtype):
+def _fwd(q, k, v, valid, band, block, matmul_dtype, slim_stats):
     out, lse = _banded_flash_fwd_impl(
-        q, k, v, band, block, matmul_dtype, valid, with_lse=True
+        q, k, v, band, block, matmul_dtype, valid, with_lse=True,
+        slim_stats=slim_stats,
     )
     return out, (q, k, v, out, lse, valid)
 
 
-def _bwd(band, block, matmul_dtype, res, g):
+def _bwd(band, block, matmul_dtype, slim_stats, res, g):
     q, k, v, o, lse, valid = res
     dq, dk, dv = _banded_flash_bwd_impl(
-        q, k, v, o, lse, g, band, block, matmul_dtype, valid
+        q, k, v, o, lse, g, band, block, matmul_dtype, valid,
+        slim_stats=slim_stats,
     )
     # valid is int32: its cotangent is the symbolic-zero float0
     import numpy as np

@@ -18,18 +18,22 @@ import jax
 import jax.numpy as jnp
 
 
-def headline_inputs(n: int = 2, t_len: int = 128):
+def headline_inputs(n: int = 2, t_len: int = 128, num_classes: int = 52670):
     """The headline harness input set (BASELINE.md shapes): batch n with CFG
     doubling, T=t_len, fixed seeds. Returns (z, o, c, y) plus the init args
-    for model.init."""
+    for model.init. `num_classes` sets the null label (= num_classes) so the
+    harness also serves models with small label tables (e.g. toy-trained
+    checkpoints in bench_accel --ckpt)."""
     from osu_diffusion_tpu import CONTEXT_SIZE
 
     z = jax.random.normal(jax.random.PRNGKey(1), (n, t_len, 2))
     o = jnp.cumsum(jnp.ones((n, t_len)) * 150, axis=1)
     c = jax.random.normal(jax.random.PRNGKey(2), (n, t_len, CONTEXT_SIZE))
     # CFG-doubling convention: first half real labels, second half null
-    # (52670), for ANY batch size — not just the headline n=2.
-    y = jnp.asarray([1] * (n // 2) + [52670] * (n - n // 2), dtype=jnp.int32)
+    # (= num_classes), for ANY batch size — not just the headline n=2.
+    y = jnp.asarray(
+        [1] * (n // 2) + [num_classes] * (n - n // 2), dtype=jnp.int32
+    )
     init_args = (
         jnp.zeros((n, t_len, 2)),
         jnp.zeros((n,), jnp.int32),

@@ -33,6 +33,8 @@ def _qkv(n=1, h=2, t=128, dh=32, seed=0):
     (256, 64, 64),    # multi-block band
     (200, 48, 64),    # ragged T (padding path)
     (64, 16, 32),     # small blocks
+    (256, 64, 128),   # block > band (the long-T sweep's upper points)
+    (256, 128, 256),  # block = T: single key block
 ])
 def test_kernel_matches_dense_mask(t, band, block):
     q, k, v = _qkv(t=t)
@@ -140,13 +142,16 @@ def test_gradients_flow():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
-def test_gradients_multi_block_band():
-    """Backward kernels (dq / dkv) over several key blocks per query block."""
+@pytest.mark.parametrize("slim", [False, True])
+def test_gradients_multi_block_band(slim):
+    """Backward kernels (dq / dkv) over several key blocks per query block —
+    in both stat layouts (lane-broadcast and slim/compact)."""
     q, k, v = _qkv(t=256, dh=16, seed=3)
     band, block = 96, 64
 
     def loss(q, k, v):
-        return jnp.sum(pa.banded_flash_attention(q, k, v, band, block, jnp.float32) ** 3)
+        return jnp.sum(pa.banded_flash_attention(
+            q, k, v, band, block, jnp.float32, slim_stats=slim) ** 3)
 
     g_got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
@@ -157,6 +162,88 @@ def test_gradients_multi_block_band():
     g_want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_got, g_want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_slim_stats_grads_match_lane_layout():
+    """The slim-stat layout is the SAME math (exact in-kernel transposes, the
+    same f32 delta reduction) — gradients must match the lane layout to f32
+    round-off, at a ragged t_real so the masked tail path is covered too."""
+    t, t_pad, band, block = 150, 256, 48, 64
+    q, k, v = _qkv(t=t_pad, h=2, dh=16, seed=12)
+
+    def grads(slim):
+        def loss(q, k, v):
+            out = pa.banded_flash_attention(
+                q, k, v, band, block, jnp.float32, t_real=t, slim_stats=slim
+            )
+            return jnp.sum(out[:, :, :t, :] ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(grads(True), grads(False)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
+
+
+@pytest.mark.parametrize("block", [32, 128])
+def test_gradients_block_independent(block):
+    """The custom VJP is numerically block-size independent — the basis of the
+    long-T flash block sweep (PARITY.md): any `flash_block` setting must train
+    identically, so the knob is purely a performance choice."""
+    q, k, v = _qkv(t=256, dh=16, seed=6)
+    band = 64
+
+    def loss(q, k, v, blk):
+        return jnp.sum(
+            pa.banded_flash_attention(q, k, v, band, blk, jnp.float32) ** 3
+        )
+
+    g_ref = jax.grad(lambda *a: loss(*a, 64), argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(lambda *a: loss(*a, block), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_block_plumbs_through_model():
+    """DiTConfig.flash_block reaches the kernel: different block sizes give
+    the same model output (it is a scheduling knob, not a semantic one)."""
+    from osu_diffusion_tpu.models.dit import DiT, DiTConfig
+
+    ctx = 144
+    outs = {}
+    for blk in (64, 128):
+        model = DiT(DiTConfig(
+            hidden_size=32, depth=1, num_heads=2, num_classes=7,
+            context_size=ctx, class_dropout_prob=0.1, flash_block=blk,
+        ))
+        t = 128
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, t, 2))
+        o = jnp.cumsum(jnp.ones((2, t)), axis=1) * 100
+        c = jax.random.uniform(jax.random.PRNGKey(2), (2, t, ctx))
+        y = jnp.asarray([3, 7], jnp.int32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, 8, 2)),
+            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 8)),
+            jnp.zeros((2, 8, ctx)), jnp.zeros((2,), jnp.int32),
+        )["params"]
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+        params = jax.tree_util.tree_unflatten(
+            treedef,
+            [l + jax.random.normal(k, l.shape) * 0.05
+             for l, k in zip(leaves, keys)],
+        )
+        outs[blk] = model.apply(
+            {"params": params}, x, jnp.asarray([5, 9], jnp.int32), o, c, y,
+            band=32, use_pallas=True,
+        )
+    # the kernel's matmul operands are bf16 in the model path, so different
+    # blockings round/accumulate in different orders — same envelope as the
+    # pallas-vs-dense sampler comparisons above
+    np.testing.assert_allclose(
+        np.asarray(outs[64]), np.asarray(outs[128]), rtol=1e-3, atol=2e-2
+    )
 
 
 def test_gradients_ragged_t_real():

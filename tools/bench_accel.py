@@ -39,6 +39,12 @@ def main() -> None:
     parser.add_argument("--groups", type=int, default=10)
     parser.add_argument("--runs", type=int, default=10)
     parser.add_argument("--model", type=str, default="DiT-B")
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="trained checkpoint (orbax dir or torch .pt) — "
+                             "adaptive-tau skip counts are weight-dependent, "
+                             "so the frontier measurement belongs on trained "
+                             "weights, not the random init")
+    parser.add_argument("--num-classes", type=int, default=52670)
     args = parser.parse_args()
 
     from osu_diffusion_tpu.utils import enable_compilation_cache
@@ -51,15 +57,21 @@ def main() -> None:
     from osu_diffusion_tpu.utils.benchmark import headline_inputs, measure_grouped
 
     model = DiT_models[args.model](
-        num_classes=52670, context_size=CONTEXT_SIZE, scan_blocks=False
+        num_classes=args.num_classes, context_size=CONTEXT_SIZE,
+        scan_blocks=False,
     )
     steps = 100
     diffusion = create_diffusion(str(steps), noise_schedule="squaredcos_cap_v2")
 
     t_len = 128
     n = 2
-    z, o, c, y, init_args = headline_inputs(n, t_len)
-    params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
+    z, o, c, y, init_args = headline_inputs(n, t_len, args.num_classes)
+    if args.ckpt:
+        from osu_diffusion_tpu.train.checkpoint import restore_params_any
+
+        params = restore_params_any(args.ckpt, model)
+    else:
+        params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
 
     results = {}
     base = None

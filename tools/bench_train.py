@@ -77,7 +77,22 @@ def main() -> None:
                         help="banded attention half-width (long-sequence "
                              "fine-tuning shape); defaults to seq-len when "
                              "--use-pallas is set")
+    parser.add_argument("--flash-block", type=int, default=128,
+                        help="flash-attention kernel block size (q rows per "
+                             "program and key-window stride) — the long-T "
+                             "tuning knob")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of the timed calls")
+    parser.add_argument("--slim-stats", action="store_true",
+                        help="flash backward with the compact-LSE / in-kernel "
+                             "delta layout (ops/pallas_attention.py "
+                             "SLIM_STATS_DEFAULT)")
     args = parser.parse_args()
+
+    if args.slim_stats:
+        import osu_diffusion_tpu.ops.pallas_attention as _pa
+
+        _pa.SLIM_STATS_DEFAULT = True
 
     from osu_diffusion_tpu import CONTEXT_SIZE
     from osu_diffusion_tpu.diffusion import create_diffusion
@@ -95,6 +110,7 @@ def main() -> None:
         class_dropout_prob=0.2, remat=not args.no_remat,
         scan_blocks=args.scan_blocks, attn_layout=args.attn_layout,
         mlp_bwd=args.mlp_bwd, pallas_ops=args.pallas_ops,
+        flash_block=args.flash_block,
     )
     diffusion = create_diffusion("", noise_schedule="squaredcos_cap_v2", use_l1=True)
     opt = make_optimizer()
@@ -143,11 +159,18 @@ def main() -> None:
 
         state, m = multi(state, batch, jax.random.PRNGKey(1))  # compile+warm
         jax.block_until_ready(m["loss"])
-        start = time.perf_counter()
-        for i in range(args.calls):
-            state, m = multi(state, batch, jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(m["loss"])
-        elapsed = time.perf_counter() - start
+        import contextlib as _ctx
+
+        prof = (
+            jax.profiler.trace(args.profile_dir)
+            if args.profile_dir else _ctx.nullcontext()
+        )
+        with prof:
+            start = time.perf_counter()
+            for i in range(args.calls):
+                state, m = multi(state, batch, jax.random.PRNGKey(2 + i))
+            jax.block_until_ready(m["loss"])
+            elapsed = time.perf_counter() - start
 
     steps = args.calls * k
     steps_per_sec = steps / elapsed
