@@ -248,6 +248,13 @@ def main(argv=None):
             f"Correct predictions = {res['accuracy'] * 100}% "
             f"({res['good']}/{res['total']})"
         )
+        if sampler.accel and sampler.last_full_model_steps is not None:
+            # adaptive/fixed Δ-cache: how much of the chain actually ran the
+            # full model (the quality table pairs this with the accuracy)
+            print(
+                f"full model steps = {int(sampler.last_full_model_steps)}"
+                f"/{args.num_sampling_steps}"
+            )
 
 
 if __name__ == "__main__":
