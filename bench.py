@@ -26,7 +26,11 @@ def main() -> None:
     from osu_diffusion_tpu.diffusion import create_diffusion
     from osu_diffusion_tpu.models import DiT_models
     from osu_diffusion_tpu.sampling import Sampler
-    from osu_diffusion_tpu.utils.benchmark import headline_inputs, measure_grouped
+    from osu_diffusion_tpu.utils.benchmark import (
+        fetch_fence,
+        headline_inputs,
+        measure_grouped,
+    )
 
     # Unrolled depth layout: +8% over scan-over-depth for this program
     # (2165/2154 vs 1993/1988 steps/s, interleaved A/B in one process — XLA
@@ -49,7 +53,7 @@ def main() -> None:
 
     # compile + warmup
     out = sampler(params, z, o, c, y, jax.random.PRNGKey(3))
-    jax.block_until_ready(out)
+    fetch_fence(out)
 
     # Measurement methodology (changed after round 2): the whole 100-step
     # chain runs in ~55 ms, while the axon tunnel adds a ~30 ms round trip

@@ -640,9 +640,18 @@ def banded_flash_attention(
 
     `slim_stats` (None = SLIM_STATS_DEFAULT): store the LSE residual compact
     and derive delta in the backward kernels — identical math (exact
-    transposes, same f32 reductions), 128x less stat HBM traffic."""
+    transposes, same f32 reductions), 128x less stat HBM traffic. Requires a
+    lane-aligned block: the compact (n*h, t_pad) stat arrays are blocked
+    (1, block) on their minor axis, and Mosaic requires minor block dims to be
+    multiples of 128 (or the full axis)."""
     valid = jnp.asarray(q.shape[2] if t_real is None else t_real, jnp.int32)
     slim = SLIM_STATS_DEFAULT if slim_stats is None else slim_stats
+    if slim and block % LANE != 0 and jax.default_backend() != "cpu":
+        # Mosaic-only restriction: CPU interpret mode (tests) has no lane rule
+        raise ValueError(
+            f"slim_stats requires block % {LANE} == 0 (got block={block}): "
+            "the compact LSE is blocked (1, block) on a lane axis"
+        )
     return _banded_flash_vjp(q, k, v, valid, band, block, matmul_dtype, slim)
 
 

@@ -44,6 +44,16 @@ def headline_inputs(n: int = 2, t_len: int = 128, num_classes: int = 52670):
     return z, o, c, y, init_args
 
 
+def fetch_fence(out) -> None:
+    """Force execution of `out`'s dependency cone by fetching one leaf.
+    block_until_ready is NOT a reliable execution fence on the axon tunnel
+    runtime (see measure_grouped); every bench warmup/fence goes through
+    here."""
+    import numpy as np
+
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+
+
 def measure_grouped(
     dispatch: Callable[[int], jax.Array],
     steps: int,
@@ -52,13 +62,30 @@ def measure_grouped(
 ) -> list[float]:
     """Grouped-pipelined throughput. ``dispatch(j)`` fires the j-th chain
     (j is the global dispatch index — use it to derive the PRNG key) and
-    returns the result WITHOUT blocking; one block per group. Returns
-    chain-steps/sec per group."""
+    returns the result WITHOUT blocking; one VALUE FETCH per group. Returns
+    chain-steps/sec per group.
+
+    The fence is a fetch (device_get of one leaf per chain), not
+    block_until_ready: on the axon tunnel runtime block_until_ready can
+    return before the dispatch actually executes (measured round 4: a
+    112 ms-ideal matmul chain "blocked" in 0.6 ms; fetching its value took
+    the real time). EVERY chain in the group is fetched — on a lazy runtime
+    fetching only the last chain could execute only that chain's dependency
+    cone. The host copies are issued async first (copy_to_host_async), so
+    the per-chain tunnel round trips overlap the remaining chains' compute
+    instead of serializing after it; the sync np.asarray then just drains
+    completed copies."""
+    import numpy as np
+
     per_group = []
     for g in range(groups):
         start = time.perf_counter()
-        for i in range(runs):
-            out = dispatch(g * runs + i)
-        jax.block_until_ready(out)
+        leaves = [
+            jax.tree.leaves(dispatch(g * runs + i))[0] for i in range(runs)
+        ]
+        for leaf in leaves:
+            leaf.copy_to_host_async()
+        for leaf in leaves:
+            np.asarray(leaf)
         per_group.append(steps * runs / (time.perf_counter() - start))
     return per_group

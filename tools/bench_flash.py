@@ -3,23 +3,33 @@
 
 Isolates the banded flash kernels' wall share of the T=1024 band-128
 training step (PARITY.md "Long-sequence banded fine-tuning": 49.3% MFU at
-batch 16 — the judge's round-3 item 4 asks where the other half goes).
-Measures, per flash block size, the fwd-only and fwd+bwd wall time of ONE
-attention core at the training shapes, grouped-pipelined like every other
-bench (utils/benchmark.py methodology), plus the XLA dense-mask counterpart.
+batch 16 — round-3 judge item 4 asks where the other half goes). Measures,
+per flash block size, the fwd-only and fwd+bwd time of ONE attention core at
+the training shapes, plus (opt-in) the XLA dense-mask counterpart.
+
+Measurement: a data-dependent lax.scan CHAIN of the op inside ONE dispatch
+(each iteration's dq feeds the next iteration's q), forced by a SLICE FETCH
+and timed at two chain lengths — per-iteration time is the slope
+(t_long - t_short) / (L_long - L_short), which cancels every fixed cost
+(RTT, launch, fetch). Both tricks are load-bearing on the axon runtime:
+byte-identical dispatches are memoized (a repeat-dispatch loop over fixed
+inputs reports cache hits), and block_until_ready can return BEFORE
+execution (measured 0.6 ms "blocked" for a 112 ms-ideal matmul chain that
+takes 523 ms when its value is actually fetched) — only a value fetch is a
+reliable execution fence here.
 
 A DiT-B training step at batch 16 / T=1024 runs `depth` (12) of these
-fwd+bwd cores; comparing 12x the measured core time against the full
-bench_train step time splits the MFU loss into "the kernels" vs
-"everything else" without needing a trace viewer.
+fwd+bwd cores; 12x the measured core time vs the full bench_train step time
+splits the MFU loss into "the kernels" vs "everything else" without a trace
+viewer.
 """
 from __future__ import annotations
 
 import argparse
 import json
 import os
-import statistics
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -35,11 +45,14 @@ def main() -> None:
     p.add_argument("--head-dim", type=int, default=64)
     p.add_argument("--band", type=int, default=128)
     p.add_argument("--blocks", type=str, default="64,128,256")
-    p.add_argument("--groups", type=int, default=10)
-    p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--iters", type=int, nargs=2, default=[10, 50],
+                   help="short/long chain lengths; per-iter time is the "
+                        "slope between them")
+    p.add_argument("--reps", type=int, default=4,
+                   help="fetch-forced dispatches per (config, length); min "
+                        "is reported")
     p.add_argument("--dense", action="store_true",
-                   help="also measure the XLA dense-mask path (OOMs at large "
-                        "batch*T — opt-in)")
+                   help="also measure the XLA dense-mask path")
     p.add_argument("--slim-stats", action="store_true",
                    help="compact LSE residual + in-kernel delta (the "
                         "backward-traffic experiment)")
@@ -51,7 +64,6 @@ def main() -> None:
     )
     from osu_diffusion_tpu.ops.pallas_attention import banded_flash_attention
     from osu_diffusion_tpu.utils import enable_compilation_cache
-    from osu_diffusion_tpu.utils.benchmark import measure_grouped
 
     enable_compilation_cache()
     n, h, t, dh, band = (
@@ -63,65 +75,102 @@ def main() -> None:
         jax.random.normal(kk, (n, h, t, dh), jnp.bfloat16) for kk in keys
     )
 
-    def measure(fn):
-        fn_j = jax.jit(fn)
-        jax.block_until_ready(fn_j(q, k, v))  # compile + warm
-        per_group = measure_grouped(
-            lambda j: fn_j(q, k, v), steps=1,
-            groups=args.groups, runs=args.runs,
-        )
-        # calls/sec -> ms per call; best group = min time
-        return {
-            "ms_best": round(1e3 / max(per_group), 3),
-            "ms_median": round(1e3 / statistics.median(per_group), 3),
-        }
+    import numpy as np
 
-    rows = []
+    l_short, l_long = args.iters
+
+    def chain(op, length):
+        """Chain `op(q, k, v) -> array shaped like q` through a scan; return
+        a tiny slice so the fetch (the only reliable execution fence on this
+        runtime) transfers a handful of elements, not megabytes. The scan
+        output is tanh-bounded each step so long chains cannot overflow."""
+        def run(q, k, v, salt):
+            q = q + salt.astype(q.dtype) * 1e-6
+
+            def body(c, _):
+                out = op(c, k, v)
+                # keep magnitudes bounded so chain length changes cost, not
+                # numerics; tanh is one VPU pass, identical per iteration
+                return jnp.tanh(out.astype(jnp.float32)).astype(q.dtype), None
+
+            out, _ = jax.lax.scan(body, q, None, length=length)
+            return out[0, 0, :2, :2]
+
+        return run
+
+    salt_counter = [0]
+
+    def timed(op):
+        """ms per chained iteration: fetch-forced slope between the two
+        chain lengths, min of `reps` unique dispatches each."""
+        times = {}
+        for length in (l_short, l_long):
+            fn_j = jax.jit(chain(op, length))
+            salt_counter[0] += 1
+            np.asarray(fn_j(q, k, v, jnp.float32(-salt_counter[0])))  # warm
+            best = float("inf")
+            for _ in range(args.reps):
+                salt_counter[0] += 1
+                s = jnp.float32(salt_counter[0])
+                t0 = time.perf_counter()
+                np.asarray(fn_j(q, k, v, s))
+                best = min(best, time.perf_counter() - t0)
+            times[length] = best
+        return (times[l_long] - times[l_short]) * 1e3 / (l_long - l_short)
+
     slim = args.slim_stats
     for blk in (int(b) for b in args.blocks.split(",")):
-        fwd = lambda q, k, v, blk=blk: banded_flash_attention(
-            q, k, v, band, block=blk, slim_stats=slim
-        )
+        if slim and blk % 128 != 0:
+            print(json.dumps({"block": blk, "slim_stats": True,
+                              "skipped": "slim_stats needs block % 128 == 0"}),
+                  flush=True)
+            continue
+        def fwd_op(q, k, v, blk=blk):
+            return banded_flash_attention(
+                q, k, v, band, block=blk, slim_stats=slim
+            )
 
-        def fwdbwd(q, k, v, blk=blk):
-            def loss(q, k, v):
+        def fwdbwd_op(q, k, v, blk=blk):
+            def loss(q):
                 return jnp.sum(
                     banded_flash_attention(
                         q, k, v, band, block=blk, slim_stats=slim
-                    ).astype(jnp.float32)
+                    ).astype(jnp.float32) ** 2
                 )
 
-            l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
-            return grads[0]
+            return jax.grad(loss)(q)
 
-        row = {"block": blk, "slim_stats": slim,
-               "fwd": measure(fwd), "fwd_bwd": measure(fwdbwd)}
-        rows.append(row)
+        row = {
+            "block": blk, "slim_stats": slim,
+            "fwd_ms": round(timed(fwd_op), 4),
+            "fwd_bwd_ms": round(timed(fwdbwd_op), 4),
+        }
         print(json.dumps(row), flush=True)
 
     if args.dense:
         mask = banded_attention_mask(t, band)
 
+        def dense_fwd(q, k, v):
+            return dot_product_attention(q, k, v, mask)
+
         def dense_fwdbwd(q, k, v):
-            def loss(q, k, v):
+            def loss(q):
                 return jnp.sum(
-                    dot_product_attention(q, k, v, mask).astype(jnp.float32)
+                    dot_product_attention(q, k, v, mask)
+                    .astype(jnp.float32) ** 2
                 )
 
-            _, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
-            return grads[0]
+            return jax.grad(loss)(q)
 
         row = {
             "block": "xla_dense",
-            "fwd": measure(lambda q, k, v: dot_product_attention(q, k, v, mask)),
-            "fwd_bwd": measure(dense_fwdbwd),
+            "fwd_ms": round(timed(dense_fwd), 4),
+            "fwd_bwd_ms": round(timed(dense_fwdbwd), 4),
         }
-        rows.append(row)
         print(json.dumps(row), flush=True)
 
-    # ideal banded attention FLOPs for context (fwd 4*pairs*dh, bwd ~2x fwd)
-    import numpy as np
-
+    # ideal banded attention FLOPs for context (fwd 4*pairs*dh; bwd ~3.5x fwd:
+    # dq 3 matmuls + dkv 4 matmuls over the same pair count)
     qi = np.arange(t)
     pairs = int(
         (np.minimum(t, qi + band + 1) - np.maximum(0, qi - band + 1)).sum()
@@ -129,8 +178,8 @@ def main() -> None:
     flops_fwd = 4.0 * pairs * dh * n * h
     print(json.dumps({
         "shapes": {"batch": n, "heads": h, "t": t, "dh": dh, "band": band},
-        "ideal_fwd_tflop": round(flops_fwd / 1e12, 4),
-        "ideal_fwdbwd_tflop": round(3 * flops_fwd / 1e12, 4),
+        "ideal_fwd_ms_at_peak": round(flops_fwd / 197e12 * 1e3, 4),
+        "ideal_fwdbwd_ms_at_peak": round(4.5 * flops_fwd / 197e12 * 1e3, 4),
     }))
 
 

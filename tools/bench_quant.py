@@ -51,7 +51,11 @@ def main() -> None:
     from osu_diffusion_tpu.models import DiT_models
     from osu_diffusion_tpu.models.quantize import quantize_params
     from osu_diffusion_tpu.sampling import Sampler
-    from osu_diffusion_tpu.utils.benchmark import headline_inputs, measure_grouped
+    from osu_diffusion_tpu.utils.benchmark import (
+        fetch_fence,
+        headline_inputs,
+        measure_grouped,
+    )
 
     steps = 100
     diffusion = create_diffusion(str(steps), noise_schedule="squaredcos_cap_v2")
@@ -77,7 +81,7 @@ def main() -> None:
                           accel_interval=args.accel_interval)
         t0 = time.perf_counter()
         out = sampler(p, z, o, c, y, jax.random.PRNGKey(3))
-        jax.block_until_ready(out)
+        fetch_fence(out)
         compile_s = time.perf_counter() - t0
 
         per_group = measure_grouped(

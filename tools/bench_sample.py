@@ -40,7 +40,11 @@ def main() -> None:
     from osu_diffusion_tpu.diffusion import create_diffusion
     from osu_diffusion_tpu.models import DiT_models
     from osu_diffusion_tpu.sampling import Sampler
-    from osu_diffusion_tpu.utils.benchmark import headline_inputs, measure_grouped
+    from osu_diffusion_tpu.utils.benchmark import (
+        fetch_fence,
+        headline_inputs,
+        measure_grouped,
+    )
 
     model = DiT_models[args.model](
         num_classes=52670, context_size=CONTEXT_SIZE,
@@ -55,7 +59,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     out = sampler(params, z, o, c, y, jax.random.PRNGKey(3))
-    jax.block_until_ready(out)
+    fetch_fence(out)
     compile_s = time.perf_counter() - t0
 
     per_group = measure_grouped(

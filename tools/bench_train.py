@@ -158,7 +158,8 @@ def main() -> None:
             batch = jax.device_put(batch, NamedSharding(mesh, P(None, "data")))
 
         state, m = multi(state, batch, jax.random.PRNGKey(1))  # compile+warm
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # fetch: block_until_ready is not a reliable
+        # execution fence on the axon runtime (utils/benchmark.py docstring)
         import contextlib as _ctx
 
         prof = (
@@ -169,7 +170,9 @@ def main() -> None:
             start = time.perf_counter()
             for i in range(args.calls):
                 state, m = multi(state, batch, jax.random.PRNGKey(2 + i))
-            jax.block_until_ready(m["loss"])
+            # the calls chain through `state`, so fetching the last loss
+            # fences them all
+            float(m["loss"])
             elapsed = time.perf_counter() - start
 
     steps = args.calls * k
