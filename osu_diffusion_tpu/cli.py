@@ -440,6 +440,10 @@ def build_train_parser() -> argparse.ArgumentParser:
                         help="which ops --use-pallas fuses: attn,mlp / attn / "
                              "mlp (mlp-only keeps XLA dense attention — the "
                              "short-T training configuration)")
+    parser.add_argument("--flash-block", type=int, default=d.flash_block,
+                        help="flash-attention kernel block size; 256 measured "
+                             "+2.5 MFU points at T=1024 band=128 (128 is "
+                             "right at window-length T)")
     return parser
 
 
@@ -482,6 +486,7 @@ def train_config_kwargs(args) -> dict:
         context_parallel=args.context_parallel,
         mlp_bwd=args.mlp_bwd,
         pallas_ops=args.pallas_ops,
+        flash_block=args.flash_block,
     )
 
 

@@ -31,14 +31,20 @@ NEG_INF = -1e30
 # uses for its l/m residuals).
 LANE = 128
 # slim-stats mode (the long-T backward-traffic experiment, PARITY.md "Long-T
-# flash block sweep"): the LSE residual is stored COMPACT as (n*h, t) f32 —
-# 128x less HBM than the lane-broadcast layout — and the softmax-jacobian
+# flash block sweep"): the LSE residual is stored sublane-packed as
+# (n*h, SUBLANE, t) f32 (each row replicated over the 8 sublanes so the
+# (1, SUBLANE, block) tiles satisfy Mosaic's (8, 128) minimum f32 tile) —
+# 16x less HBM than the lane-broadcast layout — and the softmax-jacobian
 # delta row term is computed inside the backward kernels from o·do instead of
 # being materialized as a second broadcast array. The sublane<->lane
 # transposes this requires are done exactly with a diagonal-mask reduction
 # (VPU, no MXU rounding). Trace-time default for model callers; kernels take
-# it per-call.
-SLIM_STATS_DEFAULT = False
+# it per-call. None = AUTO: slim whenever the block is lane-aligned (measured
+# strictly faster in every training config, PARITY.md "Long-T flash-backward
+# optimization"); True/False force a layout (True raises for non-lane-aligned
+# blocks on TPU).
+SLIM_STATS_DEFAULT: bool | None = None
+SUBLANE = 8
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -136,8 +142,11 @@ def _banded_attn_fwd_kernel(
     if lse_ref is not None:
         lse = m + jnp.log(jnp.maximum(l, 1e-30))
         if slim_stats:
-            # compact (1, B) row of the (n*h, t_pad) LSE residual
-            lse_ref[...] = _col_to_row(lse).astype(lse_ref.dtype)
+            # (1, B) row of the (n*h, SUBLANE, t_pad) LSE residual, replicated
+            # over the SUBLANE axis to satisfy the (8, 128) minimum f32 tile
+            lse_ref[0] = jnp.broadcast_to(
+                _col_to_row(lse), (SUBLANE, block)
+            ).astype(lse_ref.dtype)
         else:
             lse_ref[0] = jnp.broadcast_to(lse, (block, LANE)).astype(lse_ref.dtype)
 
@@ -173,9 +182,14 @@ def _banded_flash_fwd_impl(
     out_specs = [q_spec]
     if with_lse:
         if slim_stats:
-            out_shape.append(jax.ShapeDtypeStruct((n * h, t_pad), jnp.float32))
+            out_shape.append(
+                jax.ShapeDtypeStruct((n * h, SUBLANE, t_pad), jnp.float32)
+            )
             out_specs.append(
-                pl.BlockSpec((1, block), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+                pl.BlockSpec(
+                    (1, SUBLANE, block), lambda i, j: (i, 0, j),
+                    memory_space=pltpu.VMEM,
+                )
             )
         else:
             out_shape.append(jax.ShapeDtypeStruct((n * h, t_pad, LANE), jnp.float32))
@@ -197,8 +211,8 @@ def _banded_flash_fwd_impl(
     )(qp, kp, vp, valid)
     out = outs[0].reshape(n, h, t_pad, dh)[:, :, :t, :]
     if with_lse:
-        # the returned LSE is the slim (n*h, t_pad) row either way; the lane
-        # layout just pays a 128x-wider write + slice to get there
+        # slim: the sublane-packed (n*h, SUBLANE, t_pad) residual as-is;
+        # lane layout: slice the (n*h, t_pad) row out of the 128x-wide write
         return out, (outs[1] if slim_stats else outs[1][:, :, 0])
     return out
 
@@ -375,9 +389,9 @@ def _banded_attn_bwd_dq_kernel(
 
     q_ref/do_ref/dq_ref: (1, B, Dh) blocked; k_ref/v_ref: (1, T_pad, Dh) full.
     Row stats: lane-broadcast mode reads s1=LSE, s2=delta as (1, B, LANE)
-    blocked tiles; slim mode reads s1=o (1, B, Dh) blocked and s2=LSE (1, B)
-    compact, deriving delta = sum_d o·do in-kernel (the HBM-traffic
-    experiment, PARITY.md "Long-T flash block sweep").
+    blocked tiles; slim mode reads s1=o (1, B, Dh) blocked and s2=LSE
+    (1, SUBLANE, B) sublane-packed, deriving delta = sum_d o·do in-kernel
+    (the HBM-traffic experiment, PARITY.md "Long-T flash block sweep").
     """
     j = pl.program_id(1)
     t_pad = k_ref.shape[1]
@@ -388,7 +402,8 @@ def _banded_attn_bwd_dq_kernel(
     do = do_ref[0].astype(matmul_dtype)
     if slim_stats:
         o_ref, lse_ref = s1_ref, s2_ref
-        lse = _row_to_col(lse_ref[...].astype(jnp.float32))  # (B, 1)
+        # lse_ref: (1, SUBLANE, B) sublane-replicated; any one row is the stat
+        lse = _row_to_col(lse_ref[0, :1, :].astype(jnp.float32))  # (B, 1)
         delta = jnp.sum(
             o_ref[0].astype(jnp.float32) * do_ref[0].astype(jnp.float32),
             axis=-1, keepdims=True,
@@ -457,7 +472,8 @@ def _banded_attn_bwd_dkv_kernel(
     k_ref/v_ref/dk_ref/dv_ref: (1, B, Dh) blocked; q_ref/do_ref: (1, T_pad, Dh)
     full. Row stats: lane-broadcast mode reads s1=LSE, s2=delta as
     (1, T_pad, LANE) full slabs; slim mode reads s1=o (1, T_pad, Dh) full and
-    s2=LSE (1, T_pad) compact, deriving per-q-block delta in-kernel. A key at
+    s2=LSE (1, SUBLANE, T_pad) sublane-packed, deriving per-q-block delta
+    in-kernel. A key at
     index k is seen by queries q in [k - L, k + L) (the transpose of
     q - L < k <= q + L), so the same block reach applies.
     """
@@ -486,8 +502,9 @@ def _banded_attn_bwd_dkv_kernel(
         do_blk = do_ref[0, pl.ds(start, block), :].astype(matmul_dtype)
         if slim_stats:
             o_ref, lse_ref = s1_ref, s2_ref
+            # lse_ref: (1, SUBLANE, T_pad) sublane-replicated full slab
             lse_q = _row_to_col(
-                lse_ref[:, pl.ds(start, block)].astype(jnp.float32)
+                lse_ref[0, :1, pl.ds(start, block)].astype(jnp.float32)
             )
             delta_q = jnp.sum(
                 o_ref[0, pl.ds(start, block), :].astype(jnp.float32)
@@ -548,22 +565,23 @@ def _banded_flash_bwd_impl(
     scale = 1.0 / (dh ** 0.5)
 
     if slim_stats:
-        # the kernels read o (already a saved residual) and the compact
-        # (n*h, t_pad) LSE; delta = sum_d o·do is derived in-kernel, so no
-        # lane-broadcast stat array ever exists in HBM
+        # the kernels read o (already a saved residual) and the sublane-packed
+        # (n*h, SUBLANE, t_pad) LSE; delta = sum_d o·do is derived in-kernel,
+        # so no lane-broadcast stat array ever exists in HBM
         s1 = _pad_bh(o, t_pad)
-        s2 = jnp.pad(lse, [(0, 0), (0, t_pad - lse.shape[1])])
+        s2 = lse  # forward already emitted it at (n*h, SUBLANE, t_pad)
+        assert s2.shape == (n * h, SUBLANE, t_pad), s2.shape
         stat1_dq = pl.BlockSpec(
             (1, block, dh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         )
         stat2_dq = pl.BlockSpec(
-            (1, block), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (1, SUBLANE, block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         )
         stat1_dkv = pl.BlockSpec(
             (1, t_pad, dh), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         )
         stat2_dkv = pl.BlockSpec(
-            (1, t_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            (1, SUBLANE, t_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         )
     else:
         # delta_i = sum_d o_i do_i (softmax-jacobian row term), lane-broadcast
@@ -638,19 +656,23 @@ def banded_flash_attention(
     length within a padded bucket (the Sampler's compile-once-per-bucket
     contract).
 
-    `slim_stats` (None = SLIM_STATS_DEFAULT): store the LSE residual compact
-    and derive delta in the backward kernels — identical math (exact
-    transposes, same f32 reductions), 128x less stat HBM traffic. Requires a
-    lane-aligned block: the compact (n*h, t_pad) stat arrays are blocked
-    (1, block) on their minor axis, and Mosaic requires minor block dims to be
-    multiples of 128 (or the full axis)."""
+    `slim_stats` (None = SLIM_STATS_DEFAULT): store the LSE residual
+    sublane-packed (n*h, SUBLANE, t_pad) and derive delta in the backward
+    kernels — identical math (exact transposes, same f32 reductions), 16x
+    less stat HBM traffic than the lane-broadcast layout and no delta array
+    at all. Requires a lane-aligned block: the stat tiles are blocked
+    (1, SUBLANE, block) and Mosaic requires the minor block dim to be a
+    multiple of 128 (or the full axis)."""
     valid = jnp.asarray(q.shape[2] if t_real is None else t_real, jnp.int32)
     slim = SLIM_STATS_DEFAULT if slim_stats is None else slim_stats
-    if slim and block % LANE != 0 and jax.default_backend() != "cpu":
+    if slim is None:  # auto: slim wherever Mosaic's lane rule allows it
+        slim = block % LANE == 0
+    elif slim and block % LANE != 0 and jax.default_backend() != "cpu":
         # Mosaic-only restriction: CPU interpret mode (tests) has no lane rule
         raise ValueError(
             f"slim_stats requires block % {LANE} == 0 (got block={block}): "
-            "the compact LSE is blocked (1, block) on a lane axis"
+            f"the sublane-packed LSE is blocked (1, {SUBLANE}, block) with "
+            "block on a lane axis"
         )
     return _banded_flash_vjp(q, k, v, valid, band, block, matmul_dtype, slim)
 

@@ -91,6 +91,12 @@ class TrainConfig:
     # banded attention half-width for long-T fine-tuning (defaults to seq_len
     # when use_pallas — exactly full attention at T = seq_len)
     band: int | None = None
+    # flash-attention kernel block size (q rows per program / key-window
+    # stride). 128 is right for window-length training; 256 measured +2.5 MFU
+    # points at T=1024 band=128 (PARITY.md "Long-T flash-backward
+    # optimization"). Lane-aligned blocks also get the slim-stat backward
+    # layout automatically (ops/pallas_attention.py SLIM_STATS_DEFAULT).
+    flash_block: int = 128
     # context-parallel training: shard the attention sequence axis over the
     # mesh "model" axis (halo exchange, parallel/context.py). Requires a band
     # and seq_len divisible by num_model * 128.
@@ -161,6 +167,7 @@ def train(config: TrainConfig) -> dict:
         remat=config.remat,
         mlp_bwd=config.mlp_bwd,
         pallas_ops=config.pallas_ops,
+        flash_block=config.flash_block,
     )
     diffusion = create_diffusion(
         timestep_respacing="",

@@ -83,16 +83,17 @@ def main() -> None:
                              "tuning knob")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of the timed calls")
-    parser.add_argument("--slim-stats", action="store_true",
+    parser.add_argument("--slim-stats", choices=["auto", "on", "off"],
+                        default="auto",
                         help="flash backward with the compact-LSE / in-kernel "
                              "delta layout (ops/pallas_attention.py "
                              "SLIM_STATS_DEFAULT)")
     args = parser.parse_args()
 
-    if args.slim_stats:
+    if args.slim_stats != "auto":
         import osu_diffusion_tpu.ops.pallas_attention as _pa
 
-        _pa.SLIM_STATS_DEFAULT = True
+        _pa.SLIM_STATS_DEFAULT = args.slim_stats == "on"
 
     from osu_diffusion_tpu import CONTEXT_SIZE
     from osu_diffusion_tpu.diffusion import create_diffusion
@@ -191,6 +192,8 @@ def main() -> None:
         "use_pallas": args.use_pallas,
         "remat": not args.no_remat,
         "band": args.band,
+        "flash_block": args.flash_block,
+        "slim_stats": args.slim_stats,
         "batch": n,
         "seq_len": t,
         "steps_per_sec": round(steps_per_sec, 3),
