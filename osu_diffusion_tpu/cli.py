@@ -57,14 +57,14 @@ def serving_regime_warnings(
     a measured lose-or-parity regime instead of silently slowing the user.
     Returns the warning strings (also emitted via warnings.warn)."""
     out: list[str] = []
-    if quantize_weights and (t_len >= 128 or dispatch_batch >= 8):
+    if quantize_weights and (t_len > 48 or dispatch_batch >= 8):
         out.append(
             f"--quantize-weights at T={t_len}, dispatch batch "
             f"{dispatch_batch}: int8 weight-only serving pays only in the "
-            "weight-bound regime (T below ~128 tokens and small batch); "
-            "measured 0.98x at T=128 and 0.51x at batch 32 vs f32 "
-            "(PARITY.md). Expect parity-at-best; drop the flag for batched "
-            "or long-sequence throughput."
+            "weight-bound regime (T up to ~48 tokens and small batch); "
+            "measured 1.33x at T=32 but 0.95x at T=64, 0.98x at T=128, and "
+            "0.51x at batch 32 vs f32 (PARITY.md). Expect parity-at-best; "
+            "drop the flag for batched or long-sequence throughput."
         )
     if accel_interval > 3 and t_len <= 32:
         out.append(

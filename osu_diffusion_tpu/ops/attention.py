@@ -163,8 +163,8 @@ def multi_head_attention(
 
         assert band is not None, "context parallelism requires a band"
         o = context_parallel_banded_attention(
-            q, k, v, band, cp_mesh, axis=cp_axis, use_pallas=use_pallas,
-            valid_len=valid_len,
+            q, k, v, band, cp_mesh, axis=cp_axis, block=flash_block,
+            use_pallas=use_pallas, valid_len=valid_len,
         )
     elif use_pallas and band is not None:
         from osu_diffusion_tpu.ops.pallas_attention import banded_flash_attention

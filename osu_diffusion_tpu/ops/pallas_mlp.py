@@ -184,45 +184,51 @@ def _adaln_mlp_fwd_impl(x, shift, scale, gate, w1, b1, w2, b2,
 def _adaln_mlp_quant_kernel(
     x_ref, shift_ref, scale_ref, gate_ref,
     w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-    o_ref, *, eps: float,
+    o_ref, *, eps: float, c: int,
 ):
     """int8 weight-only variant of the inference kernel: w1/w2 blocks arrive
     as int8 (half the HBM weight stream), are upcast in-register and fed to
     the MXU; the per-output-channel dequant scales fold into the epilogues
     (s1 with b1, s2 applied per H-block partial — scales are k-invariant so
-    distributing over the accumulation is exact)."""
+    distributing over the accumulation is exact). Processes `c` batch rows
+    per program (pallas_quant._batch_block) so a resident weight block
+    serves c rows instead of 1 — the fix for the 32x-redundant weight
+    stream that made batch-32 serving 0.51x."""
     i = pl.program_id(0)
     k = pl.program_id(2)
-    x = x_ref[0].astype(jnp.float32)  # (BT, D)
+    x = x_ref[...].astype(jnp.float32)  # (C, BT, D)
 
     mean = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mean
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     xn = xc * jax.lax.rsqrt(var + eps)
 
-    shift = shift_ref[pl.ds(i, 1), :].astype(jnp.float32)
-    scale = scale_ref[pl.ds(i, 1), :].astype(jnp.float32)
-    gate = gate_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    shift = shift_ref[pl.ds(i * c, c), :].astype(jnp.float32)  # (C, D)
+    scale = scale_ref[pl.ds(i * c, c), :].astype(jnp.float32)
+    gate = gate_ref[pl.ds(i * c, c), :].astype(jnp.float32)
 
-    h = xn * (1.0 + scale) + shift
-    h = jnp.dot(h.astype(jnp.bfloat16), w1_ref[...].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
-    h = h * s1_ref[0].astype(jnp.float32) + b1_ref[0].astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=True)
+    h = xn * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    hb = h.reshape(-1, h.shape[-1])  # (C*BT, D)
+    hb = jnp.dot(hb.astype(jnp.bfloat16), w1_ref[...].astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32)
+    hb = hb * s1_ref[0].astype(jnp.float32) + b1_ref[0].astype(jnp.float32)
+    hb = jax.nn.gelu(hb, approximate=True)
     partial = jnp.dot(
-        h.astype(jnp.bfloat16), w2_ref[...].astype(jnp.bfloat16),
+        hb.astype(jnp.bfloat16), w2_ref[...].astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ) * s2_ref[0].astype(jnp.float32)
+    partial = partial.reshape(x.shape)
+    gate3 = gate[:, None, :]
 
     @pl.when(k == 0)
     def _():
-        o_ref[0] = (
-            x + gate * (partial + b2_ref[0].astype(jnp.float32))
+        o_ref[...] = (
+            x + gate3 * (partial + b2_ref[0].astype(jnp.float32))
         ).astype(o_ref.dtype)
 
     @pl.when(k > 0)
     def _():
-        o_ref[0] = o_ref[0] + (gate * partial).astype(o_ref.dtype)
+        o_ref[...] = o_ref[...] + (gate3 * partial).astype(o_ref.dtype)
 
 
 def adaln_mlp_quant(x, shift, scale, gate, w1q, s1, b1, w2q, s2, b2,
@@ -233,7 +239,11 @@ def adaln_mlp_quant(x, shift, scale, gate, w1q, s1, b1, w2q, s2, b2,
     per-output-channel scales s1 (H,) / s2 (D,). Serving path of
     DiTConfig.quant — no VJP (quantized trees are never trained).
     Interprets on the CPU backend (no XLA fallback exists for this path)."""
-    from osu_diffusion_tpu.ops.pallas_quant import _block_t_for, _interp_kwargs
+    from osu_diffusion_tpu.ops.pallas_quant import (
+        _batch_block,
+        _block_t_for,
+        _interp_kwargs,
+    )
 
     n, t, d = x.shape
     hdim = w1q.shape[1]
@@ -250,20 +260,21 @@ def adaln_mlp_quant(x, shift, scale, gate, w1q, s1, b1, w2q, s2, b2,
     t_pad = -(-t // block_t) * block_t
     if t_pad != t:
         x = jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
+    c = _batch_block(n, block_t)
 
     b1_2d = b1.reshape(1, hdim)
     b2_2d = b2.reshape(1, d)
     s1_2d = s1.reshape(1, hdim)
     s2_2d = s2.reshape(1, d)
 
-    grid = (n, t_pad // block_t, hdim // block_h)
+    grid = (n // c, t_pad // block_t, hdim // block_h)
     xo_spec = pl.BlockSpec(
-        (1, block_t, d), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM
+        (c, block_t, d), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM
     )
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
     kwargs = _interp_kwargs(interpret)
     out = pl.pallas_call(
-        functools.partial(_adaln_mlp_quant_kernel, eps=eps),
+        functools.partial(_adaln_mlp_quant_kernel, eps=eps, c=c),
         out_shape=jax.ShapeDtypeStruct((n, t_pad, d), x.dtype),
         grid=grid,
         in_specs=[

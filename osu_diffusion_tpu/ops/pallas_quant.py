@@ -67,25 +67,45 @@ def _block_t_for(t: int, block_t: int) -> int:
     return min(block_t, -(-t // 16) * 16)
 
 
+def _batch_block(n: int, block_t: int, max_rows: int = 512) -> int:
+    """Batch-block factor c: how many batch rows one program processes.
+
+    The fused kernels' grids walk (batch, T-blocks) with the weight axis
+    innermost, so an int8 weight block is re-streamed once per (batch-row,
+    T-block) visit — at dispatch batch 32, T=32 that is a 32x redundant
+    weight stream, which is why the per-batch-row layout measured 0.51x
+    (PARITY.md "int8 weight-only serving", round-4 item 4). Blocking c
+    batch rows into one program divides the weight traffic by c (and feeds
+    the MXU c*block_t rows per dot). Capped so a block stays a small slice
+    of VMEM; c must divide n for even blocks."""
+    c = max(1, min(n, max_rows // max(block_t, 1)))
+    while n % c:
+        c -= 1
+    return c
+
+
 def _modulated_kernel(x_ref, shift_ref, scale_ref, w_ref, s_ref, b_ref, o_ref,
-                      *, eps: float):
+                      *, eps: float, c: int):
     """modulate(LN(x)) @ w_int8 — the attention-side analogue of the fused
     MLP prologue: the non-affine LayerNorm and the adaLN shift/scale fold
     into the int8 qkv projection so the modulated activation never round
-    trips through HBM."""
+    trips through HBM. Processes `c` batch rows per program (see
+    _batch_block) with per-row modulation sliced from the whole-array
+    shift/scale residents."""
     i = pl.program_id(0)
-    x = x_ref[0].astype(jnp.float32)  # (BT, D)
+    x = x_ref[...].astype(jnp.float32)  # (C, BT, D)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mean
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     xn = xc * jax.lax.rsqrt(var + eps)
-    shift = shift_ref[pl.ds(i, 1), :].astype(jnp.float32)
-    scale = scale_ref[pl.ds(i, 1), :].astype(jnp.float32)
-    h = xn * (1.0 + scale) + shift
-    acc = jnp.dot(h.astype(jnp.bfloat16), w_ref[...].astype(jnp.bfloat16),
+    shift = shift_ref[pl.ds(i * c, c), :].astype(jnp.float32)  # (C, D)
+    scale = scale_ref[pl.ds(i * c, c), :].astype(jnp.float32)
+    h = xn * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    hb = h.reshape(-1, h.shape[-1]).astype(jnp.bfloat16)  # (C*BT, D)
+    acc = jnp.dot(hb, w_ref[...].astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
     y = acc * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
-    o_ref[0] = y.astype(o_ref.dtype)
+    o_ref[...] = y.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 def int8_modulated_matmul(x, shift, scale, w_q, s, b, block_t: int = 128,
@@ -102,22 +122,23 @@ def int8_modulated_matmul(x, shift, scale, w_q, s, b, block_t: int = 128,
     t_pad = -(-t // block_t) * block_t
     if t_pad != t:
         x = jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
+    c = _batch_block(n, block_t)
     s2 = s.astype(jnp.float32).reshape(1, m)
     b2 = b.astype(jnp.float32).reshape(1, m)
-    grid = (n, t_pad // block_t, m // bm)
+    grid = (n // c, t_pad // block_t, m // bm)
     kwargs = _interp_kwargs(interpret)
     out = pl.pallas_call(
-        functools.partial(_modulated_kernel, eps=eps),
+        functools.partial(_modulated_kernel, eps=eps, c=c),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_t, d), lambda i, j, q: (i, j, 0)),
+            pl.BlockSpec((c, block_t, d), lambda i, j, q: (i, j, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # shift (N, D)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # scale
             pl.BlockSpec((d, bm), lambda i, j, q: (0, q)),
             pl.BlockSpec((1, bm), lambda i, j, q: (0, q)),
             pl.BlockSpec((1, bm), lambda i, j, q: (0, q)),
         ],
-        out_specs=pl.BlockSpec((1, block_t, bm), lambda i, j, q: (i, j, q)),
+        out_specs=pl.BlockSpec((c, block_t, bm), lambda i, j, q: (i, j, q)),
         out_shape=jax.ShapeDtypeStruct((n, t_pad, m), x.dtype),
         **kwargs,
     )(x, shift, scale, w_q, s2, b2)
@@ -125,20 +146,25 @@ def int8_modulated_matmul(x, shift, scale, w_q, s, b, block_t: int = 128,
 
 
 def _out_residual_kernel(o_ref, res_ref, gate_ref, w_ref, s_ref, b_ref, y_ref,
-                         *, bm: int):
+                         *, bm: int, c: int):
     """res + gate * (o @ w_int8 * s + b) — the attention out-projection with
-    the adaLN gate and the residual add folded into the epilogue."""
+    the adaLN gate and the residual add folded into the epilogue. `c` batch
+    rows per program (see _batch_block)."""
     i = pl.program_id(0)
     q = pl.program_id(2)
-    o = o_ref[0].astype(jnp.bfloat16)  # (BT, D)
-    acc = jnp.dot(o, w_ref[...].astype(jnp.bfloat16),
+    o = o_ref[...].astype(jnp.bfloat16)  # (C, BT, D)
+    ob = o.reshape(-1, o.shape[-1])
+    acc = jnp.dot(ob, w_ref[...].astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
     y = acc * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
-    # gate rides whole as (N, D): slice the batch row AND this program's
+    y = y.reshape(c, -1, bm)
+    # gate rides whole as (N, D): slice the batch rows AND this program's
     # output-channel block (bm < d whenever d has no large-enough divisor —
     # DiT-L d=1024 -> bm=512, DiT-XL d=1152 -> bm=384)
-    gate = gate_ref[pl.ds(i, 1), pl.ds(q * bm, bm)].astype(jnp.float32)
-    y_ref[0] = (res_ref[0].astype(jnp.float32) + gate * y).astype(y_ref.dtype)
+    gate = gate_ref[pl.ds(i * c, c), pl.ds(q * bm, bm)].astype(jnp.float32)
+    y_ref[...] = (
+        res_ref[...].astype(jnp.float32) + gate[:, None, :] * y
+    ).astype(y_ref.dtype)
 
 
 def int8_out_residual(o, res, gate, w_q, s, b, block_t: int = 128,
@@ -155,22 +181,23 @@ def int8_out_residual(o, res, gate, w_q, s, b, block_t: int = 128,
         pad = [(0, 0), (0, t_pad - t), (0, 0)]
         o = jnp.pad(o, pad)
         res = jnp.pad(res, pad)
+    c = _batch_block(n, block_t)
     s2 = s.astype(jnp.float32).reshape(1, m)
     b2 = b.astype(jnp.float32).reshape(1, m)
-    grid = (n, t_pad // block_t, m // bm)
+    grid = (n // c, t_pad // block_t, m // bm)
     kwargs = _interp_kwargs(interpret)
     out = pl.pallas_call(
-        functools.partial(_out_residual_kernel, bm=bm),
+        functools.partial(_out_residual_kernel, bm=bm, c=c),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_t, d), lambda i, j, q: (i, j, 0)),
-            pl.BlockSpec((1, block_t, bm), lambda i, j, q: (i, j, q)),
+            pl.BlockSpec((c, block_t, d), lambda i, j, q: (i, j, 0)),
+            pl.BlockSpec((c, block_t, bm), lambda i, j, q: (i, j, q)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # gate (N, D)
             pl.BlockSpec((d, bm), lambda i, j, q: (0, q)),
             pl.BlockSpec((1, bm), lambda i, j, q: (0, q)),
             pl.BlockSpec((1, bm), lambda i, j, q: (0, q)),
         ],
-        out_specs=pl.BlockSpec((1, block_t, bm), lambda i, j, q: (i, j, q)),
+        out_specs=pl.BlockSpec((c, block_t, bm), lambda i, j, q: (i, j, q)),
         out_shape=jax.ShapeDtypeStruct((n, t_pad, m), o.dtype),
         **kwargs,
     )(o, res, gate, w_q, s2, b2)

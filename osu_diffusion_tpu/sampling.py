@@ -61,6 +61,7 @@ class Sampler:
         accel_span: tuple[int, int] | None = None,
         accel_tau: float | None = None,
         accel_max_skip: int = 7,
+        accel_drift: str = "global",
     ):
         """`cp_mesh`/`cp_axis`: context parallelism — shard the sequence over
         the mesh axis for lengths beyond one chip (parallel/context.py).
@@ -93,7 +94,18 @@ class Sampler:
         distance). Early chain steps barely move x, so the schedule
         naturally skips deep there and runs full steps near t=0, where
         detail forms. Setting accel_tau enables adaptive mode regardless of
-        accel_interval. After a call, `last_full_model_steps` holds the
+        accel_interval.
+
+        `accel_drift`: how per-batch-row drifts reduce to the ONE skip
+        decision a single batched trace permits — "global" (default) is the
+        norm over the whole batch (one drifting variant is diluted by
+        1/sqrt(N), so the batch keeps skipping); "per_sample_max" takes the
+        max of per-row relative drifts (one drifting variant forces a full
+        step for everyone — strictly more conservative). TRUE per-row
+        decisions are structurally impossible here: the skip is a lax.cond
+        between two whole-batch model traces, and running the full depth
+        for one row only would mean running it for all
+        (PARITY.md "Adaptive Δ-cache drift coupling"). After a call, `last_full_model_steps` holds the
         number of full model evaluations as a device scalar (fetch it to
         report the effective interval; it is NOT fetched internally so
         pipelined benchmarking stays non-blocking)."""
@@ -119,6 +131,9 @@ class Sampler:
         self.accel_interval = int(accel_interval)
         self.accel_tau = None if accel_tau is None else float(accel_tau)
         self.accel_max_skip = int(accel_max_skip)
+        if accel_drift not in ("global", "per_sample_max"):
+            raise ValueError(f"unknown accel_drift: {accel_drift}")
+        self.accel_drift = accel_drift
         self.accel = self.accel_interval > 1 or self.accel_tau is not None
         self.last_full_model_steps = None
         if self.accel:
@@ -291,9 +306,24 @@ class Sampler:
                     # cached Δ also ages in t), or the final step. n_full > 0
                     # guards the first step: a zero Δ must never be applied,
                     # however large tau is
-                    drift = jnp.linalg.norm(x - x_ref) / jnp.maximum(
-                        jnp.linalg.norm(x_ref), 1e-6
-                    )
+                    if self.accel_drift == "per_sample_max":
+                        # max of per-row relative drifts: one drifting
+                        # variant forces a full step for the whole batch
+                        # (the single batched trace permits only one skip
+                        # decision; see the accel_drift docstring)
+                        drift = jnp.max(
+                            jnp.linalg.norm(
+                                (x - x_ref).reshape(x.shape[0], -1), axis=1
+                            ) / jnp.maximum(
+                                jnp.linalg.norm(
+                                    x_ref.reshape(x.shape[0], -1), axis=1
+                                ), 1e-6
+                            )
+                        )
+                    else:
+                        drift = jnp.linalg.norm(x - x_ref) / jnp.maximum(
+                            jnp.linalg.norm(x_ref), 1e-6
+                        )
                     skip = (
                         (drift <= tau) & (skips < max_skip) & (i > 0)
                         & (n_full > 0)

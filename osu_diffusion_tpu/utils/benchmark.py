@@ -51,7 +51,15 @@ def fetch_fence(out) -> None:
     here."""
     import numpy as np
 
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    # EVERY leaf: fetching only one leaf executes only that leaf's dependency
+    # cone on this lazy runtime — independently-computed sibling outputs
+    # would be left unexecuted (async-copy all, then drain).
+    leaves = jax.tree.leaves(out)
+    for leaf in leaves:
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
+    for leaf in leaves:
+        np.asarray(leaf).ravel()[:1]
 
 
 def measure_grouped(
@@ -74,14 +82,18 @@ def measure_grouped(
     cone. The host copies are issued async first (copy_to_host_async), so
     the per-chain tunnel round trips overlap the remaining chains' compute
     instead of serializing after it; the sync np.asarray then just drains
-    completed copies."""
+    completed copies. ALL leaves of each dispatch result are fetched — by
+    the same lazy-runtime rationale, fetching only the first leaf would
+    under-fence a dispatch returning independently-computed arrays."""
     import numpy as np
 
     per_group = []
     for g in range(groups):
         start = time.perf_counter()
         leaves = [
-            jax.tree.leaves(dispatch(g * runs + i))[0] for i in range(runs)
+            leaf
+            for i in range(runs)
+            for leaf in jax.tree.leaves(dispatch(g * runs + i))
         ]
         for leaf in leaves:
             leaf.copy_to_host_async()

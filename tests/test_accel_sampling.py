@@ -288,3 +288,39 @@ def test_adaptive_guards():
     diffusion = create_diffusion("10", noise_schedule="squaredcos_cap_v2")
     with pytest.raises(ValueError, match="unrolled block layout"):
         Sampler(_model(scan_blocks=True), diffusion, accel_tau=0.1)
+    with pytest.raises(ValueError, match="accel_drift"):
+        Sampler(_model(), diffusion, accel_tau=0.1, accel_drift="per_row")
+
+
+def test_adaptive_per_sample_max_drift():
+    """accel_drift="per_sample_max" (judge r4 item 9): the max of per-row
+    relative drifts is >= the whole-batch norm ratio, so the per-sample mode
+    must record at least as many full steps as the global mode; it stays
+    deterministic and at tau=0 is the exact chain."""
+    model = _model()
+    z, o, c, y = _chain_inputs()
+    params = _jitter(model.init(
+        jax.random.PRNGKey(0), z, jnp.zeros((2,), jnp.int32), o, c, y
+    )["params"])
+    diffusion = create_diffusion("20", noise_schedule="squaredcos_cap_v2")
+    rng = jax.random.PRNGKey(4)
+    counts = {}
+    for drift in ("global", "per_sample_max"):
+        s = Sampler(model, diffusion, cfg_scale=1.5, bucket=16,
+                    accel_tau=0.15, accel_span=SPAN, accel_max_skip=8,
+                    accel_drift=drift)
+        out = s(params, z, o, c, y, rng)
+        counts[drift] = int(s.last_full_model_steps)
+        out2 = s(params, z, o, c, y, rng)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    assert counts["per_sample_max"] >= counts["global"]
+    # tau=0 exactness holds for the per-sample reduction too
+    exact = Sampler(model, diffusion, cfg_scale=1.5, bucket=16)
+    strict = Sampler(model, diffusion, cfg_scale=1.5, bucket=16,
+                     accel_tau=0.0, accel_span=SPAN,
+                     accel_drift="per_sample_max")
+    np.testing.assert_allclose(
+        np.asarray(strict(params, z, o, c, y, rng)),
+        np.asarray(exact(params, z, o, c, y, rng)), atol=1e-6,
+    )
+    assert int(strict.last_full_model_steps) == 20

@@ -36,7 +36,9 @@ def tiny_ckpt(tiny_registry, tmp_path):
         jnp.zeros((1,), jnp.int32),
     )["params"]
     sd = {
-        k: torch.from_numpy(np.ascontiguousarray(v))
+        # np.array(..., copy=True): torch.from_numpy on a non-writable view
+        # of a jax array emits a UserWarning (and aliases immutable memory)
+        k: torch.from_numpy(np.array(v, copy=True))
         for k, v in params_to_torch_state_dict(params, num_label_rows=52671).items()
     }
     path = str(tmp_path / "tiny.pt")
@@ -179,6 +181,15 @@ class TestServingRegimeWarnings:
 
         with pytest.warns(RuntimeWarning, match="quantize-weights"):
             out = serving_regime_warnings(True, 1, t_len=128, dispatch_batch=2)
+        assert len(out) == 1
+
+    def test_int8_mid_t_warns(self):
+        # T=64 is a MEASURED lose regime (0.95x, PARITY.md) — the guardrail
+        # threshold must match the table, not just the T>=128 cliff
+        from osu_diffusion_tpu.cli import serving_regime_warnings
+
+        with pytest.warns(RuntimeWarning, match="quantize-weights"):
+            out = serving_regime_warnings(True, 1, t_len=64, dispatch_batch=2)
         assert len(out) == 1
 
     def test_int8_big_batch_warns(self):

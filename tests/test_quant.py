@@ -363,7 +363,7 @@ def test_sample_cli_quantize_weights_with_accel(tmp_path, monkeypatch):
         jnp.zeros((1,), jnp.int32),
     )["params"]
     sd = {
-        k: torch.from_numpy(np.ascontiguousarray(v))
+        k: torch.from_numpy(np.array(v, copy=True))
         for k, v in params_to_torch_state_dict(params, num_label_rows=52671).items()
     }
     ckpt = str(tmp_path / "tiny3.pt")
@@ -403,7 +403,7 @@ def test_sample_cli_quantize_weights(tmp_path, monkeypatch):
         jnp.zeros((1,), jnp.int32),
     )["params"]
     sd = {
-        k: torch.from_numpy(np.ascontiguousarray(v))
+        k: torch.from_numpy(np.array(v, copy=True))
         for k, v in params_to_torch_state_dict(params, num_label_rows=52671).items()
     }
     ckpt = str(tmp_path / "tiny.pt")

@@ -36,6 +36,13 @@ def main() -> None:
                              "skip schedule; rows report the measured number "
                              "of full model steps out of the chain)")
     parser.add_argument("--max-skip", type=int, default=7)
+    parser.add_argument("--drift", type=str, default="global",
+                        choices=["global", "per_sample_max"],
+                        help="how per-row drifts reduce to the one skip "
+                             "decision in adaptive mode (judge r4 item 9)")
+    parser.add_argument("--batch", type=int, default=2,
+                        help="CFG-doubled dispatch batch (use e.g. 32 to "
+                             "probe the multi-variant drift-coupling regime)")
     parser.add_argument("--groups", type=int, default=10)
     parser.add_argument("--runs", type=int, default=10)
     parser.add_argument("--model", type=str, default="DiT-B")
@@ -68,7 +75,7 @@ def main() -> None:
     diffusion = create_diffusion(str(steps), noise_schedule="squaredcos_cap_v2")
 
     t_len = 128
-    n = 2
+    n = args.batch
     z, o, c, y, init_args = headline_inputs(n, t_len, args.num_classes)
     if args.ckpt:
         from osu_diffusion_tpu.train.checkpoint import restore_params_any
@@ -118,6 +125,7 @@ def main() -> None:
             bucket=t_len,
             accel_tau=tau,
             accel_max_skip=args.max_skip,
+            accel_drift=args.drift,
         )
         t0 = time.perf_counter()
         out = sampler(params, z, o, c, y, jax.random.PRNGKey(3))
@@ -136,6 +144,7 @@ def main() -> None:
             "compile_s": round(compile_s, 1),
             "full_model_steps": full_steps,
             "chain_steps": steps,
+            "drift": args.drift,
         }
         print(json.dumps({"tau": tau, **results[f"tau{tau}"]}), flush=True)
 
@@ -145,7 +154,7 @@ def main() -> None:
         row["speedup_vs_exact"] = (
             round(row["steps_per_sec_best"] / base, 3) if base else None
         )
-    print(json.dumps({"model": args.model, "results": results}))
+    print(json.dumps({"model": args.model, "batch": n, "results": results}))
 
 
 if __name__ == "__main__":

@@ -131,14 +131,19 @@ def main() -> None:
             )
 
         def fwdbwd_op(q, k, v, blk=blk):
-            def loss(q):
+            def loss(q, k, v):
                 return jnp.sum(
                     banded_flash_attention(
                         q, k, v, band, block=blk, slim_stats=slim
                     ).astype(jnp.float32) ** 2
                 )
 
-            return jax.grad(loss)(q)
+            # Differentiate wrt ALL of q/k/v and mix dk/dv into the chained
+            # output: grad wrt q alone lets XLA dead-code-eliminate the whole
+            # dkv pallas_call (~4/7 of the backward matmuls), silently
+            # reporting a dq-only "backward" cost.
+            dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            return dq + dk * 1e-3 + dv * 1e-3
 
         row = {
             "block": blk, "slim_stats": slim,
@@ -154,13 +159,14 @@ def main() -> None:
             return dot_product_attention(q, k, v, mask)
 
         def dense_fwdbwd(q, k, v):
-            def loss(q):
+            def loss(q, k, v):
                 return jnp.sum(
                     dot_product_attention(q, k, v, mask)
                     .astype(jnp.float32) ** 2
                 )
 
-            return jax.grad(loss)(q)
+            dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            return dq + dk * 1e-3 + dv * 1e-3
 
         row = {
             "block": "xla_dense",
