@@ -48,23 +48,25 @@ def serving_regime_warnings(
     """Measured regime cliffs of the fast serving flags (PARITY.md "int8
     weight-only serving" / "Δ-cache accelerated sampling").
 
-    int8 weight-only pays only in the weight-bound regime — small T, small
-    batch — where streaming the weights dominates: measured 1.33x at T=32
-    but 0.98x at T=128 (MXU-bound) and 0.51x at dispatch batch 32. Δ-cache
+    int8 weight-only pays in the weight-bound regime — where few tokens
+    share each streamed weight byte. With the round-5 batch-blocked kernels
+    (weight blocks resident across batch rows) the whole batch-2 line is a
+    win: measured 1.57x at T=32, 1.20x/1.04x/1.03x/1.04x at T=48/64/96/128.
+    The one remaining lose regime is batched throughput (0.93x at dispatch
+    batch 32 — compute-bound; XLA's flattened f32 matmuls win). Δ-cache
     intervals deeper than 3 stop paying at T<=32 (dispatch-bound: the
     per-dispatch overhead, not the model, sets the floor). The flags are
     documented accelerators, so warn whenever a requested combination is in
     a measured lose-or-parity regime instead of silently slowing the user.
     Returns the warning strings (also emitted via warnings.warn)."""
     out: list[str] = []
-    if quantize_weights and (t_len > 48 or dispatch_batch >= 8):
+    if quantize_weights and dispatch_batch >= 8:
         out.append(
-            f"--quantize-weights at T={t_len}, dispatch batch "
-            f"{dispatch_batch}: int8 weight-only serving pays only in the "
-            "weight-bound regime (T up to ~48 tokens and small batch); "
-            "measured 1.33x at T=32 but 0.95x at T=64, 0.98x at T=128, and "
-            "0.51x at batch 32 vs f32 (PARITY.md). Expect parity-at-best; "
-            "drop the flag for batched or long-sequence throughput."
+            f"--quantize-weights at dispatch batch {dispatch_batch}: int8 "
+            "weight-only serving is a small-batch latency feature; at "
+            "large batch the chain is compute-bound and int8 measured "
+            "0.93x f32 at batch 32 (PARITY.md). Expect parity-at-best; "
+            "drop the flag for batched throughput."
         )
     if accel_interval > 3 and t_len <= 32:
         out.append(

@@ -67,7 +67,13 @@ def _block_t_for(t: int, block_t: int) -> int:
     return min(block_t, -(-t // 16) * 16)
 
 
-def _batch_block(n: int, block_t: int, max_rows: int = 512) -> int:
+# rows-per-program cap for _batch_block: 512 measured best at dispatch
+# batch 32 T=32 (1024 rows fits VMEM but see PARITY "int8 weight-only
+# serving" for the A/B); module-level so benchmarks can sweep it
+BATCH_BLOCK_MAX_ROWS = 512
+
+
+def _batch_block(n: int, block_t: int, max_rows: int | None = None) -> int:
     """Batch-block factor c: how many batch rows one program processes.
 
     The fused kernels' grids walk (batch, T-blocks) with the weight axis
@@ -78,6 +84,8 @@ def _batch_block(n: int, block_t: int, max_rows: int = 512) -> int:
     batch rows into one program divides the weight traffic by c (and feeds
     the MXU c*block_t rows per dot). Capped so a block stays a small slice
     of VMEM; c must divide n for even blocks."""
+    if max_rows is None:
+        max_rows = BATCH_BLOCK_MAX_ROWS
     c = max(1, min(n, max_rows // max(block_t, 1)))
     while n % c:
         c -= 1

@@ -36,6 +36,22 @@ def main() -> None:
         help="comma list from {f32,int8}; order is measurement order",
     )
     parser.add_argument(
+        "--accel-tau", type=float, default=None,
+        help="ADAPTIVE Δ-cache tau applied to every measured variant "
+             "(error-driven skip; combines with int8 for the adaptive "
+             "frontier point)",
+    )
+    parser.add_argument("--max-skip", type=int, default=7)
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="trained checkpoint (orbax dir or torch .pt); "
+                             "adaptive-tau skip counts are weight-dependent")
+    parser.add_argument("--num-classes", type=int, default=52670)
+    parser.add_argument(
+        "--max-rows", type=int, default=None,
+        help="override pallas_quant.BATCH_BLOCK_MAX_ROWS (the rows-per-"
+             "program cap of the batch-blocked int8 kernels)",
+    )
+    parser.add_argument(
         "--accel-interval", type=int, default=1,
         help="Δ-cache interval applied to every measured variant (the "
              "PARITY synergy rows compare f32 at interval 1 vs int8 at "
@@ -46,6 +62,10 @@ def main() -> None:
     from osu_diffusion_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.max_rows is not None:
+        from osu_diffusion_tpu.ops import pallas_quant as _pq
+
+        _pq.BATCH_BLOCK_MAX_ROWS = args.max_rows
     from osu_diffusion_tpu import CONTEXT_SIZE
     from osu_diffusion_tpu.diffusion import create_diffusion
     from osu_diffusion_tpu.models import DiT_models
@@ -61,15 +81,21 @@ def main() -> None:
     diffusion = create_diffusion(str(steps), noise_schedule="squaredcos_cap_v2")
     t_len = args.seq_len
     n = args.batch
-    z, o, c, y, init_args = headline_inputs(n, t_len)
+    z, o, c, y, init_args = headline_inputs(n, t_len, args.num_classes)
 
     model = DiT_models[args.model](
-        num_classes=52670, context_size=CONTEXT_SIZE, scan_blocks=False
+        num_classes=args.num_classes, context_size=CONTEXT_SIZE,
+        scan_blocks=False,
     )
-    params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
+    if args.ckpt:
+        from osu_diffusion_tpu.train.checkpoint import restore_params_any
+
+        params = restore_params_any(args.ckpt, model)
+    else:
+        params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
     qmodel = DiT_models[args.model](
-        num_classes=52670, context_size=CONTEXT_SIZE, scan_blocks=False,
-        quant=True,
+        num_classes=args.num_classes, context_size=CONTEXT_SIZE,
+        scan_blocks=False, quant=True,
     )
     qparams = quantize_params(params)
 
@@ -78,11 +104,16 @@ def main() -> None:
     for name in args.variants.split(","):
         m, p = setups[name]
         sampler = Sampler(m, diffusion, cfg_scale=1.0, band=None, bucket=t_len,
-                          accel_interval=args.accel_interval)
+                          accel_interval=args.accel_interval,
+                          accel_tau=args.accel_tau,
+                          accel_max_skip=args.max_skip)
         t0 = time.perf_counter()
         out = sampler(p, z, o, c, y, jax.random.PRNGKey(3))
         fetch_fence(out)
         compile_s = time.perf_counter() - t0
+        full_steps = (
+            int(sampler.last_full_model_steps) if sampler.accel else steps
+        )
 
         per_group = measure_grouped(
             lambda j, p=p: sampler(p, z, o, c, y, jax.random.PRNGKey(4 + j)),
@@ -93,6 +124,7 @@ def main() -> None:
             "steps_per_sec_median": round(statistics.median(per_group), 1),
             "per_group": [round(v, 1) for v in per_group],
             "compile_s": round(compile_s, 1),
+            "full_model_steps": full_steps,
         }
         print(json.dumps({"variant": name, **results[name]}), flush=True)
 
