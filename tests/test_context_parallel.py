@@ -221,3 +221,31 @@ def test_train_step_with_context_parallelism():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
+
+
+def test_flash_block_plumbs_through_cp_branch():
+    """multi_head_attention forwards flash_block into the CP path (round-4
+    advisor: it was silently dropped, always using DEFAULT_BLOCK). Outputs
+    are block-independent, so 256 must match 128 exactly; the divisibility
+    assert inside context_parallel_banded_attention proves the value
+    actually arrived (T = p*256 fails for block 512)."""
+    from osu_diffusion_tpu.ops.attention import multi_head_attention
+
+    num_model = 2
+    t, d, heads = num_model * 256, 32, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, t, d), jnp.float32)
+    wqkv = jax.random.normal(jax.random.PRNGKey(1), (d, 3 * d)) * 0.1
+    bqkv = jnp.zeros((3 * d,))
+    wo = jax.random.normal(jax.random.PRNGKey(2), (d, d)) * 0.1
+    bo = jnp.zeros((d,))
+    mesh = make_mesh(num_model=num_model)
+    outs = {}
+    with mesh:
+        for blk in (128, 256):
+            outs[blk] = multi_head_attention(
+                x, wqkv, bqkv, wo, bo, heads, band=128,
+                cp_mesh=mesh, cp_axis="model", flash_block=blk,
+            )
+    np.testing.assert_allclose(
+        np.asarray(outs[128]), np.asarray(outs[256]), atol=2e-5
+    )
